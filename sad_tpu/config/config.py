@@ -1,0 +1,438 @@
+"""Typed, immutable configuration system.
+
+Replaces the reference's global mutable ``cfg`` AttrDict and its
+teacher/student global-swap machinery (``detectron/lib/core/config.py:59-65,
+1254-1272``) with frozen dataclasses: the teacher and the student are simply
+two independent ``Config`` values passed around explicitly.
+
+The YAML surface is kept compatible with the reference's config files
+(``detectron/configs/focal_distillation/*.yaml``): the same section/key names
+parse into the dataclass fields, unknown keys raise (mirroring
+``config.py:1146-1151``), and the deprecated/renamed-key machinery
+(``config.py:1022-1061``) is preserved for the keys the reference deprecates.
+"""
+
+from __future__ import annotations
+
+import ast
+import dataclasses
+import os
+from dataclasses import dataclass, field, fields, replace
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+import yaml
+
+
+# --------------------------------------------------------------------------- #
+# Section dataclasses. Defaults mirror detectron/lib/core/config.py defaults.
+# --------------------------------------------------------------------------- #
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Training options (ref: config.py TRAIN section)."""
+
+    WEIGHTS: str = ""
+    DATASETS: Tuple[str, ...] = ()
+    SCALES: Tuple[int, ...] = (600,)
+    MAX_SIZE: int = 1000
+    IMS_PER_BATCH: int = 2  # images per device-group (ref: config.py:96)
+    BATCH_SIZE_PER_IM: int = 64
+    USE_FLIPPED: bool = True
+    SNAPSHOT_ITERS: int = 20000
+    AUTO_RESUME: bool = True
+    ASPECT_GROUPING: bool = True
+    RPN_STRADDLE_THRESH: float = 0.0
+    GT_MIN_AREA: int = -1
+    CROWD_FILTER_THRESH: float = 0.7
+    FREEZE_AT: int = 2  # ResNet freeze stage (ref: ResNet.py:88 freeze_at)
+    # Fraction coming from proposals vs gt for R-CNN style training (unused by
+    # RetinaNet; retained for the inherited surface).
+    FG_THRESH: float = 0.5
+    BG_THRESH_HI: float = 0.5
+    BG_THRESH_LO: float = 0.0
+    PROPOSAL_FILES: Tuple[str, ...] = ()
+
+
+@dataclass(frozen=True)
+class TestConfig:
+    """Inference options (ref: config.py TEST section)."""
+
+    WEIGHTS: str = ""
+    DATASETS: Tuple[str, ...] = ()
+    SCALES: Tuple[int, ...] = (600,)
+    MAX_SIZE: int = 1000
+    NMS: float = 0.3
+    BBOX_REG: bool = True
+    SCORE_THRESH: float = 0.05
+    DETECTIONS_PER_IM: int = 100
+    SOFT_NMS_ENABLED: bool = False
+    SOFT_NMS_METHOD: str = "linear"
+    SOFT_NMS_SIGMA: float = 0.5
+    BBOX_VOTE_ENABLED: bool = False
+    BBOX_VOTE_THRESH: float = 0.8
+    BBOX_VOTE_SCORING_METHOD: str = "ID"
+    BBOX_AUG_ENABLED: bool = False
+    RPN_PRE_NMS_TOP_N: int = 12000
+    RPN_POST_NMS_TOP_N: int = 2000
+    RPN_NMS_THRESH: float = 0.7
+    RPN_MIN_SIZE: int = 0
+    # Dump raw per-image head outputs (cls probs + box preds) for the
+    # pseudo-label/teacher pipeline. Replaces the reference's hard-coded
+    # TEST.SAVE_RES dump path (test_retinanet.py:97-101) with a config option.
+    SAVE_RES: bool = False
+    SAVE_RES_DIR: str = ""
+    PROPOSAL_FILES: Tuple[str, ...] = ()
+    PROPOSAL_LIMIT: int = 2000
+    COMPETITION_MODE: bool = True
+    FORCE_JSON_DATASET_EVAL: bool = False
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Model type/backbone selection (ref: config.py MODEL section)."""
+
+    TYPE: str = ""  # 'retinanet' | 'distillation' | 'generalized_rcnn' | 'rfcn'
+    CONV_BODY: str = ""  # e.g. 'FPN.add_fpn_ResNet50_conv5_body'
+    NUM_CLASSES: int = -1  # includes background (81 for COCO)
+    CLS_AGNOSTIC_BBOX_REG: bool = False
+    FASTER_RCNN: bool = False
+    MASK_ON: bool = False
+    KEYPOINTS_ON: bool = False
+    RPN_ONLY: bool = False
+    EXECUTION_TYPE: str = "dag"  # kept for config parity; XLA schedules for us
+    BBOX_REG_WEIGHTS: Tuple[float, float, float, float] = (10.0, 10.0, 5.0, 5.0)
+
+
+@dataclass(frozen=True)
+class FPNConfig:
+    """Feature Pyramid Network options (ref: config.py FPN section)."""
+
+    FPN_ON: bool = False
+    DIM: int = 256
+    ZERO_INIT_LATERAL: bool = False
+    COARSEST_STRIDE: int = 32
+    MULTILEVEL_ROIS: bool = False
+    ROI_CANONICAL_SCALE: int = 224
+    ROI_CANONICAL_LEVEL: int = 4
+    ROI_MAX_LEVEL: int = 5
+    ROI_MIN_LEVEL: int = 2
+    MULTILEVEL_RPN: bool = False
+    RPN_MAX_LEVEL: int = 6
+    RPN_MIN_LEVEL: int = 2
+    RPN_ASPECT_RATIOS: Tuple[float, ...] = (0.5, 1.0, 2.0)
+    RPN_ANCHOR_START_SIZE: int = 32
+    EXTRA_CONV_LEVELS: bool = False
+
+
+@dataclass(frozen=True)
+class RetinaNetConfig:
+    """RetinaNet head/loss options (ref: config.py RETINANET section)."""
+
+    RETINANET_ON: bool = False
+    ASPECT_RATIOS: Tuple[float, ...] = (0.5, 1.0, 2.0)
+    SCALES_PER_OCTAVE: int = 3
+    ANCHOR_SCALE: float = 4.0
+    NUM_CONVS: int = 4
+    BBOX_REG_WEIGHT: float = 1.0
+    BBOX_REG_BETA: float = 0.11
+    PRE_NMS_TOP_N: int = 1000
+    POSITIVE_OVERLAP: float = 0.5
+    NEGATIVE_OVERLAP: float = 0.4
+    LOSS_ALPHA: float = 0.25
+    LOSS_GAMMA: float = 2.0
+    PRIOR_PROB: float = 0.01
+    SHARE_CLS_BBOX_TOWER: bool = False
+    CLASS_SPECIFIC_BBOX: bool = False
+    SOFTMAX: bool = False
+    INFERENCE_TH: float = 0.05
+    FINAL_KERNEL_SIZE: int = 3
+    L2_LOSS: bool = False  # dead flag in the reference; kept for config parity
+
+
+@dataclass(frozen=True)
+class ResNetsConfig:
+    """ResNet/ResNeXt body options (ref: config.py RESNETS section)."""
+
+    NUM_GROUPS: int = 1  # >1 => ResNeXt
+    WIDTH_PER_GROUP: int = 64
+    STRIDE_1X1: bool = True
+    TRANS_FUNC: str = "bottleneck_transformation"
+    RES5_DILATION: int = 1
+    CHANNEL_RATIO: float = 1.0  # half-width student ablation (ResNet.py:99-118)
+
+
+@dataclass(frozen=True)
+class SolverConfig:
+    """SGD schedule options (ref: config.py SOLVER section)."""
+
+    BASE_LR: float = 0.001
+    LR_POLICY: str = "step"  # 'step' | 'steps_with_decay' | 'steps_with_lrs'
+    GAMMA: float = 0.1
+    STEP_SIZE: int = 30000
+    STEPS: Tuple[int, ...] = ()
+    LRS: Tuple[float, ...] = ()
+    MAX_ITER: int = 40000
+    MOMENTUM: float = 0.9
+    WEIGHT_DECAY: float = 0.0005
+    WARM_UP_ITERS: int = 500
+    WARM_UP_FACTOR: float = 1.0 / 3.0
+    WARM_UP_METHOD: str = "linear"
+    SCALE_MOMENTUM: bool = True
+    SCALE_MOMENTUM_THRESHOLD: float = 1.1
+    LOG_LR_CHANGE_THRESHOLD: float = 1.1
+
+
+@dataclass(frozen=True)
+class DistillationConfig:
+    """Adaptive distillation options (ref: config.py:989-1016)."""
+
+    DISTILLATION_ON: bool = False
+    LOSS_ALPHA: float = 0.0
+    LOSS_GAMMA: float = 0.0
+    LOSS_BETA: float = 0.0
+    IGNORED_LABEL: int = -1
+    TEMPERATURE: float = 1.0
+    ADAPTIVE_NORMALIZER: bool = False
+    LOGITS_POWER: float = 1.0
+    UNLABEL_DISTILLATION: bool = False
+    UNLABEL_DATASETS: Tuple[str, ...] = ()
+
+
+@dataclass(frozen=True)
+class Config:
+    """Top-level immutable config (one per model; teacher and student are two
+    separate instances — replacing the reference's register_teacher /
+    switch_to_teacher global swaps, config.py:1254-1272)."""
+
+    TRAIN: TrainConfig = field(default_factory=TrainConfig)
+    TEST: TestConfig = field(default_factory=TestConfig)
+    MODEL: ModelConfig = field(default_factory=ModelConfig)
+    FPN: FPNConfig = field(default_factory=FPNConfig)
+    RETINANET: RetinaNetConfig = field(default_factory=RetinaNetConfig)
+    RESNETS: ResNetsConfig = field(default_factory=ResNetsConfig)
+    SOLVER: SolverConfig = field(default_factory=SolverConfig)
+    DISTILLATION: DistillationConfig = field(default_factory=DistillationConfig)
+
+    NUM_GPUS: int = 1  # number of device-groups; on TPU = mesh data-axis size
+    DEDUP_BOXES: float = 1.0 / 16.0
+    BBOX_XFORM_CLIP: float = float(np.log(1000.0 / 16.0))
+    # Pixel normalization (BGR order, matching the reference's cv2 pipeline;
+    # config.py:929-933).
+    PIXEL_MEANS: Tuple[float, float, float] = (102.9801, 115.9465, 122.7717)
+    PIXEL_DIV: float = 1.0
+    PIXEL_STD: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    RNG_SEED: int = 3
+    OUTPUT_DIR: str = "/tmp/sad_tpu_output"
+    EXPECTED_RESULTS: Tuple = ()
+    EXPECTED_RESULTS_RTOL: float = 0.1
+    EXPECTED_RESULTS_ATOL: float = 0.005
+    VIS: bool = False
+    VIS_TH: float = 0.9
+    USE_NCCL: bool = False  # parity knob; collectives are XLA's on TPU
+    DOWNLOAD_CACHE: str = "/tmp/sad_tpu_download_cache"
+
+    # TPU-specific additions (not in the reference):
+    # compute dtype for backbone/head matmuls ('bfloat16' or 'float32');
+    # losses always accumulate in float32.
+    COMPUTE_DTYPE: str = "bfloat16"
+    # Use the fused Pallas loss kernel when available.
+    USE_PALLAS_LOSSES: bool = True
+
+    # ---------------------------------------------------------------- helpers
+
+    def num_fpn_levels(self) -> int:
+        return self.FPN.RPN_MAX_LEVEL - self.FPN.RPN_MIN_LEVEL + 1
+
+    def fpn_levels(self) -> Tuple[int, ...]:
+        return tuple(range(self.FPN.RPN_MIN_LEVEL, self.FPN.RPN_MAX_LEVEL + 1))
+
+    def num_anchors_per_cell(self) -> int:
+        return len(self.RETINANET.ASPECT_RATIOS) * self.RETINANET.SCALES_PER_OCTAVE
+
+    def num_fg_classes(self) -> int:
+        return self.MODEL.NUM_CLASSES - 1
+
+
+# --------------------------------------------------------------------------- #
+# Deprecated / renamed keys (ref: config.py:1022-1061)
+# --------------------------------------------------------------------------- #
+
+_DEPRECATED_KEYS = {
+    "FINAL_MSG",
+    "MODEL.DILATION",
+    "ROOT_GPU_ID",
+    "RPN.ON",
+    "TRAIN.BBOX_NORMALIZE_TARGETS_PRECOMPUTED",
+    "TRAIN.DROPOUT",
+    "USE_GPU_NMS",
+    "TEST.NUM_TEST_IMAGES",
+}
+
+_RENAMED_KEYS = {
+    "EXAMPLE.RENAMED.KEY": "EXAMPLE.KEY",
+    "PIXEL_MEAN": "PIXEL_MEANS",
+    "MODEL.PS_GRID_SIZE": "RFCN.PS_GRID_SIZE",
+    "MODEL.ROI_HEAD": "FAST_RCNN.ROI_BOX_HEAD",
+    "MODEL.RPN_HEAD": "RPN.RPN_HEAD",
+    "TRAIN.DATASET": "TRAIN.DATASETS",
+    "TRAIN.PROPOSAL_FILE": "TRAIN.PROPOSAL_FILES",
+    "TEST.DATASET": "TEST.DATASETS",
+    "TEST.PROPOSAL_FILE": "TEST.PROPOSAL_FILES",
+}
+
+# Sections present in reference YAMLs that sad_tpu does not model yet; keys in
+# these sections are validated as "known but inert" so upstream configs load.
+_INERT_SECTIONS = {"RPN", "FAST_RCNN", "MRCNN", "KRCNN", "RFCN", "VGG", "VGG_CNN_M_1024"}
+
+# Top-level scalar keys from the reference accepted but unused on TPU.
+_INERT_TOP_KEYS = {
+    "DATA_LOADER",
+    "DEBUG",
+    "MEMONGER",
+    "MEMONGER_SHARE_ACTIVATIONS",
+    "CLUSTER",
+    "MATLAB",
+    "REQUIRE_MASK",
+}
+
+
+class ConfigError(Exception):
+    pass
+
+
+def _coerce(value: Any, target_type: type, key: str) -> Any:
+    """Coerce a YAML value to the dataclass field's type, mirroring the
+    reference's type-coercion rules (config.py:1201-1252): strings that parse
+    as literals are evaluated; lists become tuples; ints/floats interconvert."""
+    if isinstance(value, str):
+        try:
+            parsed = ast.literal_eval(value)
+            value = parsed
+        except (ValueError, SyntaxError):
+            pass
+    if isinstance(value, list):
+        value = tuple(value)
+    origin = getattr(target_type, "__origin__", None)
+    if origin is tuple:
+        if not isinstance(value, tuple):
+            value = (value,)
+        return tuple(value)
+    if target_type is float and isinstance(value, int):
+        return float(value)
+    if target_type is int and isinstance(value, float) and value.is_integer():
+        return int(value)
+    if target_type is bool and isinstance(value, bool):
+        return value
+    if target_type is str and not isinstance(value, str):
+        raise ConfigError(f"Type mismatch for key {key}: expected str, got {value!r}")
+    return value
+
+
+def _merge_section(section_obj: Any, updates: Dict[str, Any], prefix: str) -> Any:
+    field_map = {f.name: f for f in fields(section_obj)}
+    kwargs = {}
+    for key, value in updates.items():
+        full_key = f"{prefix}.{key}" if prefix else key
+        if full_key in _DEPRECATED_KEYS or key in _DEPRECATED_KEYS:
+            continue
+        if full_key in _RENAMED_KEYS:
+            raise ConfigError(
+                f"Key {full_key} was renamed to {_RENAMED_KEYS[full_key]}"
+            )
+        if key not in field_map:
+            raise ConfigError(f"Non-existent config key: {full_key}")
+        f = field_map[key]
+        kwargs[key] = _coerce(value, f.type if isinstance(f.type, type) else _resolve_type(section_obj, f), full_key)
+    return replace(section_obj, **kwargs)
+
+
+def _resolve_type(obj: Any, f: dataclasses.Field) -> type:
+    # dataclass field types may be strings under `from __future__ import
+    # annotations`; resolve the common cases we use.
+    t = f.type
+    if isinstance(t, str):
+        simple = {"int": int, "float": float, "bool": bool, "str": str}
+        if t in simple:
+            return simple[t]
+        if t.startswith("Tuple"):
+            return tuple
+    return t if isinstance(t, type) else object
+
+
+def merge_cfg_from_dict(cfg: Config, d: Dict[str, Any]) -> Config:
+    """Merge a (nested) dict of overrides into an immutable Config, returning
+    a new Config. Unknown keys raise, matching config.py:1146-1151."""
+    top_fields = {f.name: f for f in fields(cfg)}
+    kwargs: Dict[str, Any] = {}
+    for key, value in d.items():
+        if key in _DEPRECATED_KEYS:
+            continue
+        if key in _RENAMED_KEYS:
+            raise ConfigError(f"Key {key} was renamed to {_RENAMED_KEYS[key]}")
+        if key in _INERT_SECTIONS or key in _INERT_TOP_KEYS:
+            continue  # accepted for upstream-yaml compatibility, not modeled
+        if key not in top_fields:
+            raise ConfigError(f"Non-existent config key: {key}")
+        current = getattr(cfg, key)
+        if dataclasses.is_dataclass(current) and isinstance(value, dict):
+            kwargs[key] = _merge_section(current, value, key)
+        else:
+            kwargs[key] = _coerce(value, _resolve_type(cfg, top_fields[key]), key)
+    return replace(cfg, **kwargs)
+
+
+def merge_cfg_from_file(cfg: Config, yaml_path: str) -> Config:
+    """Load a YAML file (reference-format) and merge it into cfg."""
+    with open(yaml_path, "r") as f:
+        d = yaml.safe_load(f)
+    if d is None:
+        return cfg
+    return merge_cfg_from_dict(cfg, d)
+
+
+def merge_cfg_from_list(cfg: Config, opts: List[str]) -> Config:
+    """Merge 'KEY VALUE' pair overrides (CLI style, ref config.py:1111)."""
+    assert len(opts) % 2 == 0, "opts must be key/value pairs"
+    d: Dict[str, Any] = {}
+    for key, value in zip(opts[0::2], opts[1::2]):
+        parts = key.split(".")
+        node = d
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+    return merge_cfg_from_dict(cfg, d)
+
+
+def assert_and_infer_cfg(cfg: Config) -> Config:
+    """Validate cross-field invariants (ref: config.py:1064-1084)."""
+    if cfg.RETINANET.RETINANET_ON:
+        if not cfg.FPN.FPN_ON:
+            raise ConfigError("RetinaNet requires FPN")
+        if cfg.MODEL.NUM_CLASSES < 2:
+            raise ConfigError("MODEL.NUM_CLASSES must be set (includes background)")
+    if cfg.MODEL.TYPE == "distillation" and not cfg.DISTILLATION.DISTILLATION_ON:
+        cfg = replace(
+            cfg, DISTILLATION=replace(cfg.DISTILLATION, DISTILLATION_ON=True)
+        )
+    return cfg
+
+
+def load_cfg(yaml_path: Optional[str] = None, opts: Optional[List[str]] = None) -> Config:
+    """Build a Config from defaults + optional YAML + optional CLI overrides."""
+    cfg = Config()
+    if yaml_path:
+        cfg = merge_cfg_from_file(cfg, yaml_path)
+    if opts:
+        cfg = merge_cfg_from_list(cfg, opts)
+    return assert_and_infer_cfg(cfg)
+
+
+def get_output_dir(cfg: Config, training: bool = True) -> str:
+    """Output directory for checkpoints/results (ref: config.py:1087)."""
+    tag = "train" if training else "test"
+    datasets = cfg.TRAIN.DATASETS if training else cfg.TEST.DATASETS
+    ds = ":".join(datasets) if datasets else "unknown"
+    out = os.path.join(cfg.OUTPUT_DIR, tag, ds)
+    return out
