@@ -1,0 +1,109 @@
+"""Benchmark: joint teacher+student SAD training step throughput on TPU.
+
+Measures the flagship workload — R-50 student distilled from R-101 teacher,
+input canvas 640x1024 (TRAIN.SCALES=600 / MAX_SIZE=1000 padded to
+COARSEST_STRIDE=128, the reference's distillation config geometry) — and
+prints ONE JSON line.
+
+Baseline: the reference's plain (non-distill) RetinaNet R-50 1x trains at
+16 imgs / 0.483 s = 33.1 imgs/s on 8x P100 => 4.14 imgs/s per GPU
+(detectron/MODEL_ZOO.md:889-897). The distillation step is strictly heavier
+(adds a frozen R-101 forward), so beating this per-chip number with the
+joint step is beating the reference. vs_baseline = imgs/s/chip / 4.14.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from sad_tpu.config import load_cfg
+    from sad_tpu.models import create_model
+    from sad_tpu.models.model_builder import init_model_params
+    from sad_tpu.train import TrainState, init_momentum_state, make_train_step
+
+    student_cfg = load_cfg(
+        "/root/reference/detectron/configs/focal_distillation/"
+        "retinanet_R-50-FPN_distillation.yaml",
+        ["NUM_GPUS", "1", "TRAIN.WEIGHTS", "", "COMPUTE_DTYPE", "bfloat16"],
+    )
+    teacher_cfg = load_cfg(
+        "/root/reference/detectron/configs/focal_distillation/"
+        "retinanet_R-101-FPN_1x_teacher.yaml",
+        ["NUM_GPUS", "1", "TRAIN.WEIGHTS", "", "COMPUTE_DTYPE", "bfloat16"],
+    )
+
+    h, w = 640, 1024
+    n_images = student_cfg.TRAIN.IMS_PER_BATCH  # 2 per group, 1 group = 1 chip
+    n_groups = 1
+
+    student = create_model(student_cfg)
+    teacher = create_model(teacher_cfg)
+    sp = init_model_params(student, jax.random.PRNGKey(0), (1, h, w, 3))
+    tp = init_model_params(teacher, jax.random.PRNGKey(1), (1, h, w, 3))
+
+    rng = np.random.RandomState(0)
+    a = student_cfg.num_anchors_per_cell()
+    batch = {
+        "data": jnp.asarray(rng.randn(n_images, h, w, 3), jnp.float32),
+        "teacher_data": jnp.asarray(rng.randn(n_images, h, w, 3), jnp.float32),
+        "labels": {},
+        "bbox_targets": {},
+        "fg_mask": {},
+        "fg_num": jnp.asarray([24.0], jnp.float32),
+    }
+    for lvl in student_cfg.fpn_levels():
+        s = 2 ** lvl
+        hl, wl = h // s, w // s
+        batch["labels"][lvl] = jnp.asarray(
+            rng.randint(-1, 81, (n_images, hl, wl, a)), jnp.int32
+        )
+        batch["bbox_targets"][lvl] = jnp.asarray(
+            rng.randn(n_images, hl, wl, a, 4), jnp.float32
+        )
+        batch["fg_mask"][lvl] = jnp.asarray(
+            rng.uniform(size=(n_images, hl, wl, a)) < 0.002
+        )
+
+    step = jax.jit(
+        make_train_step(student_cfg, student, teacher, n_groups=n_groups),
+        donate_argnums=(0,),
+    )
+    state = TrainState(sp, init_momentum_state(sp).velocity)
+
+    # warmup / compile
+    state, metrics = step(state, tp, batch, jnp.float32(0.01))
+    jax.block_until_ready(metrics["loss"])
+    state, metrics = step(state, tp, batch, jnp.float32(0.01))
+    jax.block_until_ready(metrics["loss"])
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, tp, batch, jnp.float32(0.01))
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = n_images * iters / dt
+    baseline = 33.1 / 8.0  # reference plain R-50 per-GPU imgs/s
+    print(
+        json.dumps(
+            {
+                "metric": "joint_distill_train_imgs_per_sec_per_chip",
+                "value": round(imgs_per_sec, 3),
+                "unit": "imgs/s/chip (R50<-R101 SAD step, 640x1024, bs2)",
+                "vs_baseline": round(imgs_per_sec / baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,140 @@
+"""COCO-JSON dataset layer (self-contained; no pycocotools).
+
+Capability-equivalent to detectron/lib/datasets/json_dataset.py +
+roidb.py, parsing the COCO instance json directly:
+- category ids mapped to contiguous [1, C-1] in sorted-id order
+  (json_dataset.py builds the same map via the COCO API),
+- gt boxes converted xywh -> xyxy with the legacy clip (x2 = x+max(0,w-1),
+  clipped to the image), invalid boxes dropped,
+- crowd regions kept with is_crowd=1 (excluded from RetinaNet targets at
+  assignment time, roi_data/retinanet.py:117-118),
+- horizontal-flip augmentation entries (roidb.py:89 extend_with_flipped),
+- training filter: RetinaNet requires >=1 non-crowd gt per image
+  (retinanet.py:119-120); empty images are dropped (roidb.py:123
+  filter_for_training),
+- multi-dataset union for the labeled+pseudo-labeled semi-supervised mix
+  (roidb.py:37 combined_roidb_for_training).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from sad_tpu.config.catalog import DatasetSpec, get_dataset_spec
+
+
+class CocoDataset:
+    def __init__(self, spec_or_name):
+        self.spec: DatasetSpec = (
+            spec_or_name
+            if isinstance(spec_or_name, DatasetSpec)
+            else get_dataset_spec(spec_or_name)
+        )
+        with open(self.spec.annotation_file, "r") as f:
+            self.dataset = json.load(f)
+        cats = self.dataset.get("categories", [])
+        self.category_ids = sorted(c["id"] for c in cats)
+        # contiguous class ids: 1..C-1 (0 = background)
+        self.json_to_contiguous = {
+            cid: i + 1 for i, cid in enumerate(self.category_ids)
+        }
+        self.contiguous_to_json = {v: k for k, v in self.json_to_contiguous.items()}
+        self.classes = ["__background__"] + [
+            c["name"] for c in sorted(cats, key=lambda c: c["id"])
+        ]
+        self.num_classes = len(self.classes)
+
+        self._images = {im["id"]: im for im in self.dataset.get("images", [])}
+        self._anns_by_image: Dict[int, List[dict]] = {}
+        for ann in self.dataset.get("annotations", []):
+            self._anns_by_image.setdefault(ann["image_id"], []).append(ann)
+
+    @property
+    def name(self) -> str:
+        return self.spec.name
+
+    def image_path(self, entry: dict) -> str:
+        return os.path.join(self.spec.image_directory, entry["file_name"])
+
+    def get_roidb(self, include_gt: bool = True) -> List[dict]:
+        roidb = []
+        for img_id in sorted(self._images):
+            im = self._images[img_id]
+            entry = {
+                "id": img_id,
+                "dataset_name": self.spec.name,
+                "file_name": im["file_name"],
+                "image": os.path.join(self.spec.image_directory, im["file_name"]),
+                "height": im["height"],
+                "width": im["width"],
+                "flipped": False,
+                "boxes": np.zeros((0, 4), np.float32),
+                "gt_classes": np.zeros((0,), np.int32),
+                "is_crowd": np.zeros((0,), bool),
+            }
+            if include_gt:
+                self._add_gt(entry)
+            roidb.append(entry)
+        return roidb
+
+    def _add_gt(self, entry: dict) -> None:
+        h, w = entry["height"], entry["width"]
+        boxes, classes, crowd = [], [], []
+        for ann in self._anns_by_image.get(entry["id"], []):
+            if ann.get("ignore", 0):
+                continue
+            x, y, bw, bh = ann["bbox"]
+            x1 = max(0.0, x)
+            y1 = max(0.0, y)
+            x2 = min(w - 1.0, x + max(0.0, bw - 1.0))
+            y2 = min(h - 1.0, y + max(0.0, bh - 1.0))
+            if ann.get("area", bw * bh) > 0 and x2 >= x1 and y2 >= y1:
+                boxes.append([x1, y1, x2, y2])
+                classes.append(self.json_to_contiguous[ann["category_id"]])
+                crowd.append(bool(ann.get("iscrowd", 0)))
+        if boxes:
+            entry["boxes"] = np.asarray(boxes, np.float32)
+            entry["gt_classes"] = np.asarray(classes, np.int32)
+            entry["is_crowd"] = np.asarray(crowd, bool)
+
+
+def flip_entry(entry: dict) -> dict:
+    """Horizontally-flipped copy (roidb.py extend_with_flipped_entries)."""
+    w = entry["width"]
+    boxes = entry["boxes"].copy()
+    x1 = boxes[:, 0].copy()
+    x2 = boxes[:, 2].copy()
+    boxes[:, 0] = w - x2 - 1
+    boxes[:, 2] = w - x1 - 1
+    out = dict(entry)
+    out["boxes"] = boxes
+    out["flipped"] = True
+    return out
+
+
+def filter_for_training(roidb: List[dict]) -> List[dict]:
+    """Keep images with at least one non-crowd gt (retinanet.py:119)."""
+
+    def ok(e):
+        valid = (e["gt_classes"] > 0) & (~e["is_crowd"])
+        return valid.any()
+
+    kept = [e for e in roidb if ok(e)]
+    return kept
+
+
+def combined_roidb_for_training(
+    dataset_names: Sequence[str], use_flipped: bool = True
+) -> List[dict]:
+    """Union of datasets + flips + filtering (roidb.py:37-149)."""
+    roidb: List[dict] = []
+    for name in dataset_names:
+        ds = CocoDataset(name)
+        roidb.extend(ds.get_roidb(include_gt=True))
+    if use_flipped:
+        roidb = roidb + [flip_entry(e) for e in roidb]
+    return filter_for_training(roidb)

@@ -1,0 +1,182 @@
+"""Threaded host->device training data pipeline.
+
+Capability-equivalent to detectron/lib/roi_data/loader.py (RoIDataLoader +
+enqueue threads + Caffe2 BlobsQueue), TPU-redesigned:
+
+- loader threads build whole static-shape batches (RetinaNetMinibatchBuilder)
+  into a bounded host queue; the consumer transfers with jax.device_put and
+  JAX's async dispatch overlaps transfer with the running step (replacing
+  BlobsQueue/SafeEnqueueBlobs, loader.py:250-273 + queue/blobs_queue.cc),
+- epoch shuffling with aspect grouping: landscape/portrait pools shuffled
+  independently and batches drawn from one pool so every batch shares one
+  canvas (ref: deque-rotation aspect grouping, loader.py:173-245),
+- semi-supervised alternation: when an unlabeled roidb is present, batches
+  strictly alternate labeled/unlabeled by batch parity (loader.py:140-146),
+  and loader threads fill whichever stream is behind (loader.py:109-115),
+- coordinator-style shutdown that drains threads on error or exit
+  (lib/utils/coordinator.py:32-66).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from sad_tpu.config import Config
+
+from .minibatch import RetinaNetMinibatchBuilder
+
+
+class _Stream:
+    """Epoch-shuffled index stream with aspect grouping."""
+
+    def __init__(self, roidb: List[dict], batch_images: int, seed: int):
+        self.roidb = roidb
+        self.batch_images = batch_images
+        self.rng = np.random.RandomState(seed)
+        self.landscape = [
+            i for i, e in enumerate(roidb) if e["width"] >= e["height"]
+        ]
+        self.portrait = [
+            i for i, e in enumerate(roidb) if e["width"] < e["height"]
+        ]
+        self._cursors = {}
+        self._shuffled = {}
+        self._lock = threading.Lock()
+        for key in ("l", "p"):
+            self._reshuffle(key)
+
+    def _pool(self, key):
+        return self.landscape if key == "l" else self.portrait
+
+    def _reshuffle(self, key):
+        pool = list(self._pool(key))
+        self.rng.shuffle(pool)
+        self._shuffled[key] = pool
+        self._cursors[key] = 0
+
+    def next_batch(self) -> List[dict]:
+        with self._lock:
+            # prefer whichever orientation pool has more remaining
+            keys = [k for k in ("l", "p") if len(self._pool(k)) >= 1]
+            key = max(
+                keys,
+                key=lambda k: len(self._shuffled[k]) - self._cursors[k],
+            )
+            idxs = []
+            while len(idxs) < self.batch_images:
+                if self._cursors[key] >= len(self._shuffled[key]):
+                    self._reshuffle(key)
+                idxs.append(self._shuffled[key][self._cursors[key]])
+                self._cursors[key] += 1
+        return [self.roidb[i] for i in idxs]
+
+
+class TrainingLoader:
+    """Prefetching loader; get_next_batch() yields host batch pytrees."""
+
+    def __init__(
+        self,
+        cfg: Config,
+        roidb: List[dict],
+        teacher_cfg: Optional[Config] = None,
+        unlabeled_roidb: Optional[List[dict]] = None,
+        batch_images: int = None,
+        num_threads: int = 2,
+        queue_capacity: int = 4,
+        seed: int = 3,
+    ):
+        self.cfg = cfg
+        self.builder = RetinaNetMinibatchBuilder(cfg, teacher_cfg)
+        self.batch_images = batch_images or (cfg.TRAIN.IMS_PER_BATCH * cfg.NUM_GPUS)
+        self.labeled = _Stream(roidb, self.batch_images, seed)
+        self.unlabeled = (
+            _Stream(unlabeled_roidb, self.batch_images, seed + 1)
+            if unlabeled_roidb
+            else None
+        )
+        self._queues = {"labeled": queue.Queue(queue_capacity)}
+        if self.unlabeled:
+            self._queues["unlabeled"] = queue.Queue(queue_capacity)
+        self._stop = threading.Event()
+        self._error: Optional[BaseException] = None
+        self._threads = [
+            threading.Thread(target=self._worker, daemon=True, name=f"loader{i}")
+            for i in range(num_threads)
+        ]
+        self._batch_parity = 0
+
+    # ------------------------------------------------------------- threads
+
+    def start(self, prefill: bool = False):
+        for t in self._threads:
+            t.start()
+        if prefill:
+            for q in self._queues.values():
+                while not q.full() and self._error is None:
+                    import time
+
+                    time.sleep(0.05)
+        return self
+
+    def _worker(self):
+        try:
+            while not self._stop.is_set():
+                # fill whichever stream is further behind (loader.py:109-115)
+                name = "labeled"
+                if self.unlabeled:
+                    sizes = {k: q.qsize() for k, q in self._queues.items()}
+                    name = min(sizes, key=sizes.get)
+                stream = self.labeled if name == "labeled" else self.unlabeled
+                entries = stream.next_batch()
+                batch = self.builder.build(entries).as_pytree()
+                while not self._stop.is_set():
+                    try:
+                        self._queues[name].put(batch, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+        except BaseException as e:  # noqa: BLE001 — propagate to consumer
+            self._error = e
+            self._stop.set()
+
+    # ------------------------------------------------------------- consumer
+
+    def get_next_batch(self) -> Dict:
+        """Strictly alternate labeled/unlabeled by parity (loader.py:140-146)."""
+        if self._error is not None:
+            raise RuntimeError("loader thread failed") from self._error
+        name = "labeled"
+        if self.unlabeled:
+            name = "labeled" if self._batch_parity % 2 == 0 else "unlabeled"
+        self._batch_parity += 1
+        while True:
+            if self._error is not None:
+                raise RuntimeError("loader thread failed") from self._error
+            try:
+                return self._queues[name].get(timeout=1.0)
+            except queue.Empty:
+                continue
+
+    def queue_depth(self) -> int:
+        return sum(q.qsize() for q in self._queues.values())
+
+    def shutdown(self):
+        self._stop.set()
+        for q in self._queues.values():
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+        for t in self._threads:
+            t.join(timeout=2.0)
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.shutdown()

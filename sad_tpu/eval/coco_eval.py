@@ -1,0 +1,250 @@
+"""Self-contained COCO-protocol bbox evaluation (numpy).
+
+Replaces the reference's pycocotools dependency
+(lib/datasets/json_dataset_evaluator.py) with a from-scratch implementation of
+the COCO bbox evaluation protocol — pycocotools is not available in this
+environment, and the evaluator is part of the framework surface anyway
+(SURVEY.md §2.1 'Evaluation'). Implements the standard COCOeval semantics:
+
+- IoU thresholds 0.50:0.05:0.95, 101-point interpolated precision,
+- per-category / per-area-range / per-maxDets accumulation,
+- crowd regions: IoU = intersection / det-area, matchable many times,
+  never counted as FP,
+- ignore propagation: dets matched to ignored gt are ignored; unmatched dets
+  outside the area range are ignored.
+
+Box convention: COCO xywh, areas w*h (no +1 — evaluation convention differs
+from the detector's internal legacy +1 convention on purpose; pycocotools
+does the same).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+IOU_THRS = np.linspace(0.5, 0.95, 10)
+REC_THRS = np.linspace(0.0, 1.0, 101)
+AREA_RNGS = {
+    "all": (0.0, 1e10),
+    "small": (0.0, 32.0 ** 2),
+    "medium": (32.0 ** 2, 96.0 ** 2),
+    "large": (96.0 ** 2, 1e10),
+}
+MAX_DETS = (1, 10, 100)
+
+
+def _iou_xywh(dt: np.ndarray, gt: np.ndarray, iscrowd: np.ndarray) -> np.ndarray:
+    """(D, G) IoU; crowd gt uses intersection / det area."""
+    if len(dt) == 0 or len(gt) == 0:
+        return np.zeros((len(dt), len(gt)))
+    dx1, dy1 = dt[:, 0], dt[:, 1]
+    dx2, dy2 = dt[:, 0] + dt[:, 2], dt[:, 1] + dt[:, 3]
+    gx1, gy1 = gt[:, 0], gt[:, 1]
+    gx2, gy2 = gt[:, 0] + gt[:, 2], gt[:, 1] + gt[:, 3]
+    iw = np.clip(
+        np.minimum(dx2[:, None], gx2[None, :]) - np.maximum(dx1[:, None], gx1[None, :]),
+        0, None,
+    )
+    ih = np.clip(
+        np.minimum(dy2[:, None], gy2[None, :]) - np.maximum(dy1[:, None], gy1[None, :]),
+        0, None,
+    )
+    inter = iw * ih
+    d_area = (dt[:, 2] * dt[:, 3])[:, None]
+    g_area = (gt[:, 2] * gt[:, 3])[None, :]
+    union = np.where(iscrowd[None, :], d_area, d_area + g_area - inter)
+    return np.where(union > 0, inter / union, 0.0)
+
+
+class COCOEvaluator:
+    """Evaluate box detections against COCO-format ground truth.
+
+    gt_dataset: dict with 'images', 'annotations', 'categories' (COCO json).
+    Detections: list of {'image_id', 'category_id', 'bbox' xywh, 'score'}.
+    """
+
+    def __init__(self, gt_dataset: Dict):
+        self.cat_ids = sorted(c["id"] for c in gt_dataset.get("categories", []))
+        self.img_ids = sorted(im["id"] for im in gt_dataset.get("images", []))
+        self._gt = defaultdict(list)  # (img_id, cat_id) -> list of anns
+        for ann in gt_dataset.get("annotations", []):
+            if ann.get("ignore", 0):
+                continue
+            self._gt[(ann["image_id"], ann["category_id"])].append(ann)
+
+    # ------------------------------------------------------------- matching
+
+    def _evaluate_img_cat(
+        self, dts: List[Dict], gts: List[Dict], area_rng: Tuple[float, float],
+        max_det: int,
+    ) -> Optional[Dict]:
+        if len(dts) == 0 and len(gts) == 0:
+            return None
+        # gt ignore flags: crowd or outside area range
+        g_ignore = np.array(
+            [
+                bool(g.get("iscrowd", 0))
+                or g["bbox"][2] * g["bbox"][3] < area_rng[0]
+                or g["bbox"][2] * g["bbox"][3] > area_rng[1]
+                for g in gts
+            ],
+            dtype=bool,
+        )
+        # sort gts: non-ignored first (pycocotools order)
+        g_order = np.argsort(g_ignore, kind="stable")
+        gts = [gts[i] for i in g_order]
+        g_ignore = g_ignore[g_order]
+        iscrowd = np.array([bool(g.get("iscrowd", 0)) for g in gts], dtype=bool)
+
+        dts = sorted(dts, key=lambda d: -d["score"])[:max_det]
+        d_boxes = np.array([d["bbox"] for d in dts], dtype=np.float64).reshape(-1, 4)
+        g_boxes = np.array([g["bbox"] for g in gts], dtype=np.float64).reshape(-1, 4)
+        ious = _iou_xywh(d_boxes, g_boxes, iscrowd)
+
+        T, D, G = len(IOU_THRS), len(dts), len(gts)
+        dt_m = np.zeros((T, D), dtype=np.int64)  # matched gt index + 1, 0 = none
+        gt_m = np.zeros((T, G), dtype=np.int64)
+        dt_ig = np.zeros((T, D), dtype=bool)
+
+        for ti, t in enumerate(IOU_THRS):
+            for di in range(D):
+                best_iou = min(t, 1 - 1e-10)
+                best_g = -1
+                for gi in range(G):
+                    if gt_m[ti, gi] > 0 and not iscrowd[gi]:
+                        continue
+                    # stop at ignored gts once a non-ignored match is found
+                    if best_g > -1 and not g_ignore[best_g] and g_ignore[gi]:
+                        break
+                    if ious[di, gi] < best_iou:
+                        continue
+                    best_iou = ious[di, gi]
+                    best_g = gi
+                if best_g == -1:
+                    continue
+                dt_ig[ti, di] = g_ignore[best_g]
+                dt_m[ti, di] = best_g + 1
+                gt_m[ti, best_g] = di + 1
+
+        # unmatched dets outside the area range are ignored
+        d_out = np.array(
+            [
+                d["bbox"][2] * d["bbox"][3] < area_rng[0]
+                or d["bbox"][2] * d["bbox"][3] > area_rng[1]
+                for d in dts
+            ],
+            dtype=bool,
+        )
+        dt_ig = np.logical_or(dt_ig, (dt_m == 0) & d_out[None, :])
+        return {
+            "dt_scores": np.array([d["score"] for d in dts]),
+            "dt_matches": dt_m,
+            "dt_ignore": dt_ig,
+            "gt_ignore": g_ignore,
+            "num_gt": int((~g_ignore).sum()),
+        }
+
+    # ----------------------------------------------------------- accumulate
+
+    def evaluate(
+        self, detections: Sequence[Dict], verbose: bool = False
+    ) -> Dict[str, float]:
+        dts_by_key = defaultdict(list)
+        for d in detections:
+            dts_by_key[(d["image_id"], d["category_id"])].append(d)
+
+        K = len(self.cat_ids)
+        A = len(AREA_RNGS)
+        M = len(MAX_DETS)
+        T, R = len(IOU_THRS), len(REC_THRS)
+        precision = -np.ones((T, R, K, A, M))
+        recall = -np.ones((T, K, A, M))
+
+        area_items = list(AREA_RNGS.items())
+        for ki, cat in enumerate(self.cat_ids):
+            for ai, (_, rng) in enumerate(area_items):
+                for mi, max_det in enumerate(MAX_DETS):
+                    evals = [
+                        self._evaluate_img_cat(
+                            dts_by_key.get((img, cat), []),
+                            self._gt.get((img, cat), []),
+                            rng,
+                            max_det,
+                        )
+                        for img in self.img_ids
+                    ]
+                    evals = [e for e in evals if e is not None]
+                    if not evals:
+                        continue
+                    npig = sum(e["num_gt"] for e in evals)
+                    if npig == 0:
+                        continue
+                    scores = np.concatenate([e["dt_scores"] for e in evals])
+                    order = np.argsort(-scores, kind="mergesort")
+                    dtm = np.concatenate([e["dt_matches"] for e in evals], axis=1)[
+                        :, order
+                    ]
+                    dtig = np.concatenate([e["dt_ignore"] for e in evals], axis=1)[
+                        :, order
+                    ]
+                    tps = (dtm > 0) & ~dtig
+                    fps = (dtm == 0) & ~dtig
+                    tp_sum = np.cumsum(tps, axis=1).astype(np.float64)
+                    fp_sum = np.cumsum(fps, axis=1).astype(np.float64)
+                    for ti in range(T):
+                        tp, fp = tp_sum[ti], fp_sum[ti]
+                        nd = len(tp)
+                        rc = tp / npig
+                        pr = tp / np.maximum(tp + fp, np.finfo(np.float64).eps)
+                        recall[ti, ki, ai, mi] = rc[-1] if nd else 0.0
+                        # monotone-decreasing interpolation
+                        pr = pr.tolist()
+                        for i in range(nd - 1, 0, -1):
+                            if pr[i] > pr[i - 1]:
+                                pr[i - 1] = pr[i]
+                        inds = np.searchsorted(rc, REC_THRS, side="left")
+                        q = np.zeros((R,))
+                        for ri, pi in enumerate(inds):
+                            if pi < nd:
+                                q[ri] = pr[pi]
+                        precision[ti, :, ki, ai, mi] = q
+
+        def _summ(prec=True, iou=None, area="all", max_det=100):
+            ai = list(AREA_RNGS).index(area)
+            mi = MAX_DETS.index(max_det)
+            if prec:
+                s = precision[:, :, :, ai, mi]
+                if iou is not None:
+                    s = s[np.where(np.isclose(IOU_THRS, iou))[0]]
+            else:
+                s = recall[:, :, ai, mi]
+                if iou is not None:
+                    s = s[np.where(np.isclose(IOU_THRS, iou))[0]]
+            s = s[s > -1]
+            return float(np.mean(s)) if s.size else -1.0
+
+        results = {
+            "AP": _summ(),
+            "AP50": _summ(iou=0.5),
+            "AP75": _summ(iou=0.75),
+            "APs": _summ(area="small"),
+            "APm": _summ(area="medium"),
+            "APl": _summ(area="large"),
+            "AR1": _summ(prec=False, max_det=1),
+            "AR10": _summ(prec=False, max_det=10),
+            "AR100": _summ(prec=False, max_det=100),
+            "ARs": _summ(prec=False, area="small"),
+            "ARm": _summ(prec=False, area="medium"),
+            "ARl": _summ(prec=False, area="large"),
+        }
+        if verbose:
+            for k, v in results.items():
+                print(f"  {k}: {v:.4f}")
+        return results
+
+
+def evaluate_boxes(gt_dataset: Dict, detections: Sequence[Dict]) -> Dict[str, float]:
+    return COCOEvaluator(gt_dataset).evaluate(detections)

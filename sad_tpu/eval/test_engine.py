@@ -1,0 +1,203 @@
+"""Dataset inference engine + pseudo-label generation.
+
+Capability-equivalent to detectron/lib/core/test_engine.py:51-261 and the
+semi-supervised pseudo-label flow (SURVEY.md §3.4), TPU-redesigned:
+
+- the reference loops one image at a time on the host and shards a dataset
+  across GPU subprocesses (test_engine.py:115-153, subprocess.py:39); here
+  images are batched onto fixed canvases and decoded fully on device — one
+  jitted program per canvas orientation, N images per call. Multi-chip
+  inference = shard the batch over the mesh 'data' axis, not subprocesses.
+- detections come back as fixed (N, 100) arrays and are converted to
+  COCO-format dicts for evaluation (json_dataset_evaluator equivalent in
+  sad_tpu.eval.coco_eval).
+- `generate_pseudo_labels` writes a COCO-format annotation json from teacher
+  detections over an unlabeled dataset — the reference reuses test_net with
+  TEST.DATASETS=('coco_2017_unlabel',) and distributes pre-made jsons
+  (dataset_catalog.py:201-218); here it is a first-class API.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sad_tpu.config import Config
+from sad_tpu.data.dataset import CocoDataset
+from sad_tpu.data.minibatch import (
+    canvas_shapes,
+    compute_im_scale,
+    load_image_bgr,
+    prep_image,
+)
+from sad_tpu.models import RetinaNet
+from sad_tpu.utils.logging import setup_logging
+from sad_tpu.utils.timer import Timer
+
+from .coco_eval import COCOEvaluator
+from .inference import make_inference_fn
+
+logger = setup_logging(__name__)
+
+
+def _test_canvas_shapes(cfg: Config):
+    cs = cfg.FPN.COARSEST_STRIDE
+    short = int(cs * np.ceil(max(cfg.TEST.SCALES) / float(cs)))
+    long = int(cs * np.ceil(cfg.TEST.MAX_SIZE / float(cs)))
+    long = max(long, short)
+    return (short, long), (long, short)
+
+
+def prepare_test_batch(cfg: Config, entries: List[dict], canvas) -> Dict:
+    ch, cw = canvas
+    n = len(entries)
+    data = np.zeros((n, ch, cw, 3), np.float32)
+    im_hw = np.zeros((n, 2), np.float32)
+    scales = np.zeros((n,), np.float32)
+    for i, e in enumerate(entries):
+        im_bgr = load_image_bgr(e["image"], False)
+        scale = compute_im_scale(
+            e["height"], e["width"], cfg.TEST.SCALES[0], cfg.TEST.MAX_SIZE
+        )
+        im = prep_image(im_bgr, scale, cfg.PIXEL_MEANS, cfg.PIXEL_DIV, cfg.PIXEL_STD)
+        h, w = im.shape[:2]
+        data[i, :h, :w] = im
+        im_hw[i] = (e["height"], e["width"])
+        scales[i] = scale
+    return {"data": data, "im_hw": im_hw, "im_scale": scales}
+
+
+def run_inference_on_roidb(
+    cfg: Config,
+    model: RetinaNet,
+    params,
+    roidb: List[dict],
+    contiguous_to_json: Dict[int, int],
+    batch_size: int = 8,
+) -> List[Dict]:
+    """Returns COCO-format detection dicts for every image."""
+    infer = make_inference_fn(cfg, model)
+    land, port = _test_canvas_shapes(cfg)
+    groups = {"l": [], "p": []}
+    for e in roidb:
+        groups["l" if e["width"] >= e["height"] else "p"].append(e)
+
+    detections: List[Dict] = []
+    timer = Timer()
+    for key, canvas in (("l", land), ("p", port)):
+        entries = groups[key]
+        for i in range(0, len(entries), batch_size):
+            chunk = entries[i : i + batch_size]
+            # pad the final chunk to the static batch size
+            pad = batch_size - len(chunk)
+            batch_entries = chunk + [chunk[-1]] * pad
+            host = prepare_test_batch(cfg, batch_entries, canvas)
+            timer.tic()
+            out = infer(
+                params,
+                jnp.asarray(host["data"]),
+                jnp.asarray(host["im_hw"]),
+                jnp.asarray(host["im_scale"]),
+            )
+            boxes = np.asarray(out["boxes"])
+            scores = np.asarray(out["scores"])
+            classes = np.asarray(out["classes"])
+            valid = np.asarray(out["valid"])
+            timer.toc()
+            for j, e in enumerate(chunk):
+                for b, s, c, v in zip(boxes[j], scores[j], classes[j], valid[j]):
+                    if not v:
+                        continue
+                    x1, y1, x2, y2 = (float(t) for t in b)
+                    detections.append(
+                        {
+                            "image_id": e["id"],
+                            "category_id": contiguous_to_json[int(c)],
+                            # xyxy (legacy +1 extents) -> COCO xywh
+                            "bbox": [x1, y1, x2 - x1 + 1.0, y2 - y1 + 1.0],
+                            "score": float(s),
+                        }
+                    )
+            if (i // batch_size) % 10 == 0:
+                logger.info(
+                    "inference %s: %d/%d (avg %.3fs/batch)",
+                    key, i + len(chunk), len(entries), timer.average_time,
+                )
+    return detections
+
+
+def test_net_on_dataset(
+    cfg: Config,
+    model: RetinaNet,
+    params,
+    dataset_name: Optional[str] = None,
+    batch_size: int = 8,
+    output_dir: Optional[str] = None,
+) -> Dict[str, float]:
+    """Run inference + COCO evaluation on cfg.TEST.DATASETS[0]."""
+    name = dataset_name or cfg.TEST.DATASETS[0]
+    ds = CocoDataset(name)
+    roidb = ds.get_roidb(include_gt=False)
+    dets = run_inference_on_roidb(
+        cfg, model, params, roidb, ds.contiguous_to_json, batch_size
+    )
+    if output_dir:
+        os.makedirs(output_dir, exist_ok=True)
+        with open(os.path.join(output_dir, "bbox_results.json"), "w") as f:
+            json.dump(dets, f)
+    results = COCOEvaluator(ds.dataset).evaluate(dets, verbose=True)
+    return results
+
+
+def generate_pseudo_labels(
+    cfg: Config,
+    model: RetinaNet,
+    params,
+    dataset_name: str,
+    out_json: str,
+    score_thresh: float = 0.5,
+    batch_size: int = 8,
+) -> str:
+    """Teacher pseudo-label generation over an unlabeled dataset.
+
+    Writes a COCO-format annotation json consumable as a catalog entry
+    (DISTILLATION.UNLABEL_DATASETS) — the reference's §3.4 flow, batched."""
+    ds = CocoDataset(dataset_name)
+    roidb = ds.get_roidb(include_gt=False)
+    dets = run_inference_on_roidb(
+        cfg, model, params, roidb, ds.contiguous_to_json, batch_size
+    )
+    anns = []
+    for i, d in enumerate(dets):
+        if d["score"] < score_thresh:
+            continue
+        x, y, w, h = d["bbox"]
+        anns.append(
+            {
+                "id": i + 1,
+                "image_id": d["image_id"],
+                "category_id": d["category_id"],
+                "bbox": d["bbox"],
+                "area": float(w * h),
+                "iscrowd": 0,
+                "score": d["score"],  # retained for filtering/inspection
+            }
+        )
+    out = {
+        "images": ds.dataset["images"],
+        "categories": ds.dataset["categories"],
+        "annotations": anns,
+    }
+    os.makedirs(os.path.dirname(out_json) or ".", exist_ok=True)
+    with open(out_json, "w") as f:
+        json.dump(out, f)
+    logger.info(
+        "Wrote %d pseudo annotations for %d images -> %s",
+        len(anns), len(ds.dataset["images"]), out_json,
+    )
+    return out_json

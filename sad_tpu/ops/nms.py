@@ -90,8 +90,8 @@ def batched_nms(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Class-wise NMS via coordinate offsets; returns (indices, valid)."""
     span = jnp.max(jnp.where(valid, boxes[:, 2:4].max(axis=-1), 0.0)) + 1.0
-    offsets = classes.astype(jnp.float32)[:, None] * span
-    shifted = boxes + jnp.concatenate([offsets, offsets], axis=-1)
+    offsets = classes.astype(jnp.float32)[:, None] * span  # (K, 1)
+    shifted = boxes + offsets  # broadcast over x1,y1,x2,y2
     masked_scores = jnp.where(valid, scores, NEG_INF)
     return nms_fixed(shifted, masked_scores, iou_threshold, max_out)
 

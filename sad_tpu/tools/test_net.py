@@ -1,0 +1,70 @@
+"""Evaluate a model on TEST.DATASETS (ref: detectron/tools/test_net.py).
+
+Also the pseudo-label generator: with --pseudo-out, teacher detections over
+TEST.DATASETS[0] become a COCO-format annotation json (SURVEY.md §3.4).
+
+Usage:
+  python -m sad_tpu.tools.test_net --cfg cfg.yaml --weights model.pkl
+  python -m sad_tpu.tools.test_net --cfg teacher.yaml --weights t.pkl \
+      --pseudo-out pseudo.json
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+
+from sad_tpu.config import load_cfg
+from sad_tpu.config.config import get_output_dir
+from sad_tpu.data.minibatch import canvas_shapes
+from sad_tpu.models import create_model
+from sad_tpu.models.model_builder import init_model_params
+from sad_tpu.train.train_loop import load_reference_or_native
+from sad_tpu.utils.logging import setup_logging
+
+logger = setup_logging("test_net")
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--cfg", dest="cfg_file", required=True)
+    p.add_argument("--weights", default=None)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--pseudo-out", default=None)
+    p.add_argument("--pseudo-score-thresh", type=float, default=0.5)
+    p.add_argument("opts", nargs=argparse.REMAINDER, default=[])
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    cfg = load_cfg(args.cfg_file, args.opts or None)
+    model = create_model(cfg)
+    (h, w), _ = canvas_shapes(cfg)
+    params = init_model_params(model, jax.random.PRNGKey(0), (1, h, w, 3))
+    weights = args.weights or cfg.TEST.WEIGHTS
+    if weights:
+        params = load_reference_or_native(weights, params)
+        logger.info("Loaded weights: %s", weights)
+
+    if args.pseudo_out:
+        from sad_tpu.eval.test_engine import generate_pseudo_labels
+
+        generate_pseudo_labels(
+            cfg, model, params, cfg.TEST.DATASETS[0], args.pseudo_out,
+            score_thresh=args.pseudo_score_thresh,
+            batch_size=args.batch_size,
+        )
+    else:
+        from sad_tpu.eval.test_engine import test_net_on_dataset
+
+        results = test_net_on_dataset(
+            cfg, model, params, batch_size=args.batch_size,
+            output_dir=get_output_dir(cfg, training=False),
+        )
+        logger.info("Results: %s", results)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,201 @@
+"""Training driver: the tools/train_net.py `train_model` equivalent.
+
+Replicates (ref: detectron/tools/train_net.py:104-266):
+- teacher + student config pair; teacher weights loaded frozen,
+- AUTO_RESUME checkpoint scan (:208-233),
+- the SGD hot loop: LR schedule feed + momentum correction on LR change,
+  jitted joint step, smoothed JSON stats, periodic checkpoints
+  (SNAPSHOT_ITERS / NUM_GPUS), NaN-loss abort (:186-189),
+- loader lifecycle with clean shutdown.
+
+TPU redesign notes: there is no CreateNet/RunNet boundary — the jitted step
+IS the executable; the per-iter host work is the same as the reference's
+(lr feed + stats fetch). Device transfer overlaps compute via JAX async
+dispatch and a prefetching host loader.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sad_tpu.config import Config
+from sad_tpu.config.config import get_output_dir
+from sad_tpu.data.dataset import combined_roidb_for_training
+from sad_tpu.data.loader import TrainingLoader
+from sad_tpu.models import create_model
+from sad_tpu.models.model_builder import init_model_params
+from sad_tpu.utils.logging import setup_logging
+from sad_tpu.utils.stats import TrainingStats
+
+from .checkpoint import (
+    find_latest_checkpoint,
+    load_checkpoint,
+    load_reference_weights,
+    save_checkpoint,
+)
+from .lr_policy import get_lr_at_iter, lr_change_correction
+from .optimizer import MomentumSGDState, init_momentum_state, rescale_momentum
+from .train_step import TrainState, make_train_step
+
+logger = setup_logging(__name__)
+
+
+def _canvas_probe_shape(cfg: Config):
+    from sad_tpu.data.minibatch import canvas_shapes
+
+    (h, w), _ = canvas_shapes(cfg)
+    return (1, h, w, 3)
+
+
+def train_model(
+    cfg: Config,
+    teacher_cfg: Optional[Config] = None,
+    max_iters: Optional[int] = None,
+    loader: Optional[TrainingLoader] = None,
+    output_dir: Optional[str] = None,
+) -> TrainState:
+    """Run the full training loop; returns the final TrainState."""
+    distill = cfg.DISTILLATION.DISTILLATION_ON and teacher_cfg is not None
+    output_dir = output_dir or get_output_dir(cfg, training=True)
+    os.makedirs(output_dir, exist_ok=True)
+    max_iters = max_iters or cfg.SOLVER.MAX_ITER
+
+    # ----- models + params
+    student = create_model(cfg)
+    probe = _canvas_probe_shape(cfg)
+    params = init_model_params(student, jax.random.PRNGKey(cfg.RNG_SEED), probe)
+    teacher = teacher_params = None
+    if distill:
+        teacher = create_model(teacher_cfg)
+        teacher_params = init_model_params(
+            teacher, jax.random.PRNGKey(cfg.RNG_SEED + 1), probe
+        )
+        if teacher_cfg.TRAIN.WEIGHTS:
+            teacher_params = load_reference_or_native(
+                teacher_cfg.TRAIN.WEIGHTS, teacher_params
+            )
+            logger.info("Loaded teacher weights: %s", teacher_cfg.TRAIN.WEIGHTS)
+
+    # ----- resume / init weights (train_net.py:208-233, net.py:50)
+    start_iter = 0
+    velocity = init_momentum_state(params).velocity
+    if cfg.TRAIN.AUTO_RESUME:
+        ckpt_path, start_iter_ = find_latest_checkpoint(output_dir)
+        if ckpt_path:
+            ck = load_checkpoint(ckpt_path)
+            params = jax.tree_util.tree_map(jnp.asarray, ck["params"])
+            if ck.get("velocity") is not None:
+                velocity = jax.tree_util.tree_map(jnp.asarray, ck["velocity"])
+            # model_final.pkl => training already complete (train_net.py:213)
+            start_iter = ck.get("iter", max(start_iter_, 0))
+            if start_iter_ < 0:
+                start_iter = max(start_iter, max_iters)
+            logger.info("Auto-resumed from %s at iter %d", ckpt_path, start_iter)
+    if start_iter == 0 and cfg.TRAIN.WEIGHTS:
+        params = load_reference_or_native(cfg.TRAIN.WEIGHTS, params)
+        logger.info("Initialized student from %s", cfg.TRAIN.WEIGHTS)
+
+    # ----- data
+    own_loader = loader is None
+    if own_loader:
+        roidb = combined_roidb_for_training(
+            cfg.TRAIN.DATASETS, cfg.TRAIN.USE_FLIPPED
+        )
+        unlabeled = None
+        if distill and cfg.DISTILLATION.UNLABEL_DISTILLATION:
+            unlabeled = combined_roidb_for_training(
+                cfg.DISTILLATION.UNLABEL_DATASETS, cfg.TRAIN.USE_FLIPPED
+            )
+        loader = TrainingLoader(
+            cfg, roidb, teacher_cfg if distill else None, unlabeled
+        ).start(prefill=True)
+
+    # ----- jitted step
+    n_groups = cfg.NUM_GPUS
+    step_fn = jax.jit(
+        make_train_step(cfg, student, teacher, n_groups=n_groups),
+        donate_argnums=(0,),
+    )
+    state = TrainState(params, velocity)
+    stats = TrainingStats(max_iters)
+    snapshot_period = max(1, cfg.TRAIN.SNAPSHOT_ITERS // max(cfg.NUM_GPUS, 1))
+    cur_lr = get_lr_at_iter(cfg.SOLVER, start_iter)
+
+    try:
+        for it in range(start_iter, max_iters):
+            stats.iter_tic()
+            new_lr = get_lr_at_iter(cfg.SOLVER, it)
+            if new_lr != cur_lr:
+                corr = lr_change_correction(cfg.SOLVER, cur_lr, new_lr)
+                if corr is not None:
+                    from sad_tpu.models import trainable_mask
+
+                    mstate = rescale_momentum(
+                        MomentumSGDState(state.velocity),
+                        corr,
+                        trainable_mask(state.params, cfg.TRAIN.FREEZE_AT),
+                    )
+                    state = TrainState(state.params, mstate.velocity)
+                    logger.info("Scaled momentum by %.6f at iter %d", corr, it)
+                cur_lr = new_lr
+
+            batch = loader.get_next_batch()
+            state, metrics = step_fn(
+                state, teacher_params, batch, jnp.float32(cur_lr)
+            )
+            loss = float(metrics["loss"])
+            stats.iter_toc()
+            stats.update_iter_stats(
+                it, {k: float(v) for k, v in metrics.items()}
+            )
+            stats.log_iter_stats(
+                it, cur_lr, extra={"queue": loader.queue_depth()}
+            )
+
+            if not np.isfinite(loss):
+                save_checkpoint(
+                    os.path.join(output_dir, "model_nan_abort.pkl"),
+                    state.params, state.velocity, it,
+                )
+                raise FloatingPointError(
+                    f"Loss is {loss} at iter {it}; aborting (train_net.py:186-189)"
+                )
+
+            if (it + 1) % snapshot_period == 0 and it + 1 < max_iters:
+                save_checkpoint(
+                    os.path.join(output_dir, f"model_iter{it}.pkl"),
+                    state.params, state.velocity, it + 1,
+                )
+        save_checkpoint(
+            os.path.join(output_dir, "model_final.pkl"),
+            state.params, state.velocity, max_iters,
+        )
+    finally:
+        if own_loader:
+            loader.shutdown()
+    return state
+
+
+def load_reference_or_native(path: str, params_template):
+    """Dispatch on checkpoint format: native sad_tpu pickle vs reference
+    Caffe2 blob pickle (net.py:50-146)."""
+    import pickle
+
+    with open(path, "rb") as f:
+        data = pickle.load(f, encoding="latin1")
+    if isinstance(data, dict) and "params" in data:
+        return jax.tree_util.tree_map(jnp.asarray, data["params"])
+    from .checkpoint import reference_blobs_to_flax
+
+    blobs = data.get("blobs", data)
+    params, loaded, skipped = reference_blobs_to_flax(blobs, params_template)
+    logger.info(
+        "Reference weights: loaded %d blobs, skipped %d params",
+        len(loaded), len(skipped),
+    )
+    return jax.tree_util.tree_map(jnp.asarray, params)

@@ -1,15 +1,16 @@
 """Test configuration: run on a virtual 8-device CPU mesh.
 
-Must set the XLA flags before jax initializes, so this lives at import time
-of conftest (pytest imports conftest before test modules import jax).
+The ambient environment pins JAX_PLATFORMS=axon (the real TPU chip) and a
+sitecustomize imports jax at interpreter startup — before conftest — so env
+vars are too late; use jax.config (read at backend init, which has not
+happened yet) instead.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)

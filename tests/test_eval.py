@@ -1,0 +1,142 @@
+"""COCO evaluator + NMS + decode tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sad_tpu.eval.coco_eval import COCOEvaluator
+from sad_tpu.ops.nms import batched_nms, nms_fixed
+
+
+def _gt_dataset():
+    images = [{"id": 1, "height": 100, "width": 100},
+              {"id": 2, "height": 100, "width": 100}]
+    cats = [{"id": 1, "name": "a"}, {"id": 3, "name": "b"}]
+    anns = [
+        {"id": 1, "image_id": 1, "category_id": 1, "bbox": [10, 10, 20, 20],
+         "area": 400, "iscrowd": 0},
+        {"id": 2, "image_id": 1, "category_id": 3, "bbox": [50, 50, 30, 30],
+         "area": 900, "iscrowd": 0},
+        {"id": 3, "image_id": 2, "category_id": 1, "bbox": [5, 5, 40, 40],
+         "area": 1600, "iscrowd": 0},
+    ]
+    return {"images": images, "categories": cats, "annotations": anns}
+
+
+class TestCOCOEvaluator:
+    def test_perfect_detections_ap_1(self):
+        gt = _gt_dataset()
+        dets = [
+            {"image_id": a["image_id"], "category_id": a["category_id"],
+             "bbox": a["bbox"], "score": 0.9}
+            for a in gt["annotations"]
+        ]
+        res = COCOEvaluator(gt).evaluate(dets)
+        assert res["AP"] == pytest.approx(1.0)
+        assert res["AP50"] == pytest.approx(1.0)
+        assert res["AR100"] == pytest.approx(1.0)
+
+    def test_missing_detection_halves_recall(self):
+        gt = _gt_dataset()
+        dets = [
+            {"image_id": 1, "category_id": 1, "bbox": [10, 10, 20, 20], "score": 0.9},
+            {"image_id": 1, "category_id": 3, "bbox": [50, 50, 30, 30], "score": 0.9},
+            # image 2's cat-1 gt is missed
+        ]
+        res = COCOEvaluator(gt).evaluate(dets)
+        # cat 1: 1 of 2 recalled -> AP ~ 0.5 (101-pt); cat 3 perfect
+        assert 0.7 < res["AP"] < 0.8
+
+    def test_false_positive_lowers_precision(self):
+        gt = _gt_dataset()
+        dets = [
+            {"image_id": a["image_id"], "category_id": a["category_id"],
+             "bbox": a["bbox"], "score": 0.9}
+            for a in gt["annotations"]
+        ]
+        # a high-scoring FP for cat 1 in image 2
+        dets.append(
+            {"image_id": 2, "category_id": 1, "bbox": [70, 70, 10, 10], "score": 0.95}
+        )
+        res = COCOEvaluator(gt).evaluate(dets)
+        assert res["AP"] < 1.0
+        assert res["AR100"] == pytest.approx(1.0)  # recall unaffected
+
+    def test_crowd_matches_are_not_fp(self):
+        gt = _gt_dataset()
+        gt["annotations"].append(
+            {"id": 4, "image_id": 2, "category_id": 3,
+             "bbox": [60, 60, 30, 30], "area": 900, "iscrowd": 1}
+        )
+        dets = [
+            {"image_id": a["image_id"], "category_id": a["category_id"],
+             "bbox": a["bbox"], "score": 0.9}
+            for a in gt["annotations"] if not a["iscrowd"]
+        ]
+        # det fully inside the crowd region: should be ignored, not FP
+        dets.append(
+            {"image_id": 2, "category_id": 3, "bbox": [62, 62, 20, 20], "score": 0.99}
+        )
+        res = COCOEvaluator(gt).evaluate(dets)
+        assert res["AP"] == pytest.approx(1.0)
+
+    def test_localization_quality_graded_by_iou(self):
+        gt = _gt_dataset()
+        # shifted boxes: IoU ~0.6 -> count at IoU<=0.6 thresholds only
+        dets = []
+        for a in gt["annotations"]:
+            x, y, w, h = a["bbox"]
+            dets.append(
+                {"image_id": a["image_id"], "category_id": a["category_id"],
+                 "bbox": [x + 0.25 * w, y, w, h], "score": 0.9}
+            )
+        res = COCOEvaluator(gt).evaluate(dets)
+        assert res["AP50"] == pytest.approx(1.0)
+        assert res["AP75"] == pytest.approx(0.0)
+        assert 0.2 < res["AP"] < 0.5
+
+
+class TestNMS:
+    def test_greedy_nms_matches_numpy_reference(self):
+        rng = np.random.RandomState(0)
+        n = 200
+        xy = rng.uniform(0, 80, (n, 2))
+        wh = rng.uniform(5, 40, (n, 2))
+        boxes = np.concatenate([xy, xy + wh], axis=1).astype(np.float32)
+        scores = rng.uniform(0.1, 1.0, n).astype(np.float32)
+
+        # plain numpy greedy NMS oracle (legacy +1 convention)
+        def np_nms(b, s, th):
+            order = np.argsort(-s)
+            keep = []
+            sup = np.zeros(n, bool)
+            for i in order:
+                if sup[i]:
+                    continue
+                keep.append(i)
+                iw = (np.minimum(b[i, 2], b[:, 2]) - np.maximum(b[i, 0], b[:, 0]) + 1).clip(0)
+                ih = (np.minimum(b[i, 3], b[:, 3]) - np.maximum(b[i, 1], b[:, 1]) + 1).clip(0)
+                inter = iw * ih
+                a1 = (b[i, 2] - b[i, 0] + 1) * (b[i, 3] - b[i, 1] + 1)
+                a2 = (b[:, 2] - b[:, 0] + 1) * (b[:, 3] - b[:, 1] + 1)
+                iou = inter / (a1 + a2 - inter)
+                sup |= iou > th
+            return keep
+
+        ref = np_nms(boxes, scores, 0.5)
+        idx, valid = jax.jit(lambda b, s: nms_fixed(b, s, 0.5, 100))(boxes, scores)
+        got = [int(i) for i, v in zip(np.asarray(idx), np.asarray(valid)) if v]
+        assert got == ref[:100]
+
+    def test_batched_nms_separates_classes(self):
+        boxes = jnp.asarray(
+            [[0, 0, 10, 10], [1, 1, 11, 11], [0, 0, 10, 10]], jnp.float32
+        )
+        scores = jnp.asarray([0.9, 0.8, 0.7], jnp.float32)
+        classes = jnp.asarray([0, 0, 1], jnp.int32)
+        valid = jnp.asarray([True, True, True])
+        idx, v = batched_nms(boxes, scores, classes, valid, 0.5, 3)
+        kept = [int(i) for i, vv in zip(np.asarray(idx), np.asarray(v)) if vv]
+        # box 1 suppressed by box 0 (same class, IoU>0.5); box 2 survives
+        assert kept == [0, 2]
