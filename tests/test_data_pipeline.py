@@ -1,0 +1,183 @@
+"""Dataset layer, minibatch builder, and loader integration tests on a
+synthetic COCO dataset."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from sad_tpu.config import Config
+from sad_tpu.config.catalog import DatasetSpec
+from sad_tpu.config.config import merge_cfg_from_dict
+from sad_tpu.data.dataset import (
+    CocoDataset,
+    combined_roidb_for_training,
+    filter_for_training,
+    flip_entry,
+)
+from sad_tpu.data.loader import TrainingLoader
+from sad_tpu.data.minibatch import (
+    RetinaNetMinibatchBuilder,
+    canvas_shapes,
+    compute_im_scale,
+    prep_image,
+)
+
+
+@pytest.fixture(scope="module")
+def synth_dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("coco")
+    img_dir = root / "images"
+    img_dir.mkdir()
+    rng = np.random.RandomState(0)
+    images, anns = [], []
+    aid = 1
+    for i in range(1, 7):
+        w, h = (96, 64) if i % 2 else (64, 96)
+        arr = rng.randint(0, 255, (h, w, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(img_dir / f"{i:06d}.jpg")
+        images.append({"id": i, "file_name": f"{i:06d}.jpg", "height": h, "width": w})
+        anns.append(
+            {"id": aid, "image_id": i, "category_id": 17, "bbox": [8, 8, 30, 20],
+             "area": 600, "iscrowd": 0}
+        )
+        aid += 1
+        if i == 3:  # one crowd box
+            anns.append(
+                {"id": aid, "image_id": i, "category_id": 17,
+                 "bbox": [2, 2, 10, 10], "area": 100, "iscrowd": 1}
+            )
+            aid += 1
+    cats = [{"id": 17, "name": "cat"}, {"id": 42, "name": "dog"}]
+    ann_file = root / "instances.json"
+    with open(ann_file, "w") as f:
+        json.dump({"images": images, "annotations": anns, "categories": cats}, f)
+    spec = DatasetSpec("synth", str(img_dir), str(ann_file))
+    return spec
+
+
+def tiny_train_cfg(distill=False):
+    d = {
+        "MODEL": {"TYPE": "retinanet", "NUM_CLASSES": 3},
+        "NUM_GPUS": 1,
+        "FPN": {
+            "FPN_ON": True, "RPN_MIN_LEVEL": 3, "RPN_MAX_LEVEL": 7,
+            "EXTRA_CONV_LEVELS": True, "COARSEST_STRIDE": 128,
+        },
+        "RETINANET": {
+            "RETINANET_ON": True, "ASPECT_RATIOS": (1.0, 2.0),
+            "SCALES_PER_OCTAVE": 1,
+        },
+        "TRAIN": {"SCALES": (64,), "MAX_SIZE": 128, "IMS_PER_BATCH": 2},
+    }
+    if distill:
+        d["MODEL"]["TYPE"] = "distillation"
+        d["DISTILLATION"] = {"DISTILLATION_ON": True}
+    return merge_cfg_from_dict(Config(), d)
+
+
+class TestDataset:
+    def test_category_mapping_and_gt(self, synth_dataset):
+        ds = CocoDataset(synth_dataset)
+        assert ds.num_classes == 3  # bg + 2
+        assert ds.json_to_contiguous == {17: 1, 42: 2}
+        roidb = ds.get_roidb()
+        assert len(roidb) == 6
+        e = roidb[0]
+        assert e["boxes"].shape == (1, 4)
+        # xywh [8,8,30,20] -> xyxy [8,8,37,27] (legacy +1)
+        np.testing.assert_allclose(e["boxes"][0], [8, 8, 37, 27])
+        assert e["gt_classes"][0] == 1
+        # crowd kept with flag
+        e3 = roidb[2]
+        assert e3["is_crowd"].sum() == 1
+
+    def test_flip_entry(self, synth_dataset):
+        ds = CocoDataset(synth_dataset)
+        e = ds.get_roidb()[0]
+        f = flip_entry(e)
+        assert f["flipped"]
+        w = e["width"]
+        np.testing.assert_allclose(f["boxes"][0, 0], w - e["boxes"][0, 2] - 1)
+        np.testing.assert_allclose(f["boxes"][0, 2], w - e["boxes"][0, 0] - 1)
+
+    def test_filter_keeps_only_gt_images(self, synth_dataset):
+        ds = CocoDataset(synth_dataset)
+        roidb = ds.get_roidb()
+        roidb[0]["gt_classes"] = np.zeros((0,), np.int32)
+        roidb[0]["boxes"] = np.zeros((0, 4), np.float32)
+        roidb[0]["is_crowd"] = np.zeros((0,), bool)
+        assert len(filter_for_training(roidb)) == 5
+
+
+class TestMinibatch:
+    def test_canvas_and_scale(self):
+        cfg = tiny_train_cfg()
+        land, port = canvas_shapes(cfg)
+        assert land == (128, 128) and port == (128, 128)
+        # 64-shortest-side scaling with 128 long cap
+        assert compute_im_scale(64, 96, 64, 128) == 1.0
+        assert compute_im_scale(100, 300, 64, 128) == pytest.approx(128 / 300)
+
+    def test_prep_image_normalization_order(self):
+        im = np.full((4, 4, 3), 100, np.uint8)
+        out = prep_image(im, 1.0, (10.0, 20.0, 30.0), 2.0, (1.0, 2.0, 4.0))
+        # (100/2 - mean) / std
+        np.testing.assert_allclose(out[0, 0], [(50 - 10) / 1, (50 - 20) / 2, (50 - 30) / 4])
+
+    def test_build_batch_shapes_and_fg(self, synth_dataset):
+        cfg = tiny_train_cfg(distill=True)
+        teacher_cfg = merge_cfg_from_dict(
+            tiny_train_cfg(), {"PIXEL_MEANS": (0.0, 0.0, 0.0)}
+        )
+        ds = CocoDataset(synth_dataset)
+        roidb = [e for e in ds.get_roidb() if e["width"] >= e["height"]][:2]
+        builder = RetinaNetMinibatchBuilder(cfg, teacher_cfg)
+        batch = builder.build(roidb)
+        assert batch.data.shape == (2, 128, 128, 3)
+        assert batch.teacher_data.shape == (2, 128, 128, 3)
+        # teacher normalization differs (different pixel means)
+        assert not np.allclose(batch.data, batch.teacher_data)
+        a = cfg.num_anchors_per_cell()
+        for lvl in cfg.fpn_levels():
+            s = 2 ** lvl
+            assert batch.labels[lvl].shape == (2, 128 // s, 128 // s, a)
+            assert batch.bbox_targets[lvl].shape == (2, 128 // s, 128 // s, a, 4)
+        assert batch.fg_num.shape == (1,)  # one group of 2 images
+        assert batch.fg_num[0] > 0  # the 30x20 gt matches some anchor
+        total_fg_mask = sum(m.sum() for m in batch.fg_mask.values())
+        assert total_fg_mask > 0
+
+
+class TestLoader:
+    def test_loader_alternates_and_shuts_down(self, synth_dataset):
+        cfg = tiny_train_cfg()
+        ds = CocoDataset(synth_dataset)
+        roidb = ds.get_roidb()
+        unlabeled = [dict(e, id=e["id"] + 100) for e in roidb]
+        loader = TrainingLoader(
+            cfg, roidb, None, unlabeled, batch_images=2, num_threads=2,
+            queue_capacity=2,
+        ).start()
+        try:
+            batches = [loader.get_next_batch() for _ in range(4)]
+            for b in batches:
+                assert b["data"].shape[0] == 2
+                assert b["fg_num"].shape == (1,)
+        finally:
+            loader.shutdown()
+
+    def test_loader_propagates_worker_errors(self, synth_dataset):
+        cfg = tiny_train_cfg()
+        ds = CocoDataset(synth_dataset)
+        roidb = ds.get_roidb()
+        for e in roidb:
+            e["image"] = "/nonexistent/path.jpg"
+        loader = TrainingLoader(cfg, roidb, batch_images=2, num_threads=1).start()
+        try:
+            with pytest.raises(RuntimeError):
+                loader.get_next_batch()
+        finally:
+            loader.shutdown()
