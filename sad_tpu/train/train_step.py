@@ -153,6 +153,69 @@ def distill_losses(
     return total, metrics
 
 
+def fused_distill_losses(
+    cfg: Config,
+    student_out: Dict[str, Dict[int, jnp.ndarray]],
+    teacher_probs: Dict[int, jnp.ndarray],
+    batch: Dict[str, Any],
+    n_groups: int,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Fused-Pallas path: focal + adaptive-distill per level in ONE kernel
+    pass over the dense grid (sad_tpu.ops.pallas_losses), with per-row
+    normalizers carrying the per-group Np. Numerically identical to
+    retinanet_losses + distill_losses (see tests/test_pallas_losses.py);
+    the bbox loss (much smaller grid) stays on the jnp path."""
+    from sad_tpu.ops.pallas_losses import fused_cls_losses
+
+    d = cfg.DISTILLATION
+    r = cfg.RETINANET
+    a = cfg.num_anchors_per_cell()
+    loss_scale = 1.0 / n_groups
+    distill_scale = loss_scale * d.TEMPERATURE * d.TEMPERATURE
+    metrics: Dict[str, jnp.ndarray] = {}
+    total = jnp.float32(0.0)
+    ims = next(iter(batch["labels"].values())).shape[0] // n_groups
+
+    if d.ADAPTIVE_NORMALIZER:
+        norms = jax.vmap(lambda *probs: pow_sum(probs, d.LOGITS_POWER))(
+            *[_group_view(teacher_probs[lvl], n_groups) for lvl in cfg.fpn_levels()]
+        )
+        metrics["distill_normalizer"] = jnp.mean(norms)
+    else:
+        norms = batch["fg_num"]
+
+    # per-image normalizer columns (B, 1, 1, 1) from per-group values
+    fg_rows = jnp.repeat(batch["fg_num"], ims)[:, None, None, None]
+    dn_rows = jnp.repeat(norms, ims)[:, None, None, None]
+
+    fg_num = batch["fg_num"]
+    for lvl in cfg.fpn_levels():
+        logits = _split_anchor_axis(student_out["cls_logits"][lvl], a)
+        t_prob = _split_anchor_axis(teacher_probs[lvl], a)
+        labels = batch["labels"][lvl]
+        focal, distill = fused_cls_losses(
+            logits, t_prob, labels, fg_rows, dn_rows,
+            r.LOSS_GAMMA, r.LOSS_ALPHA, loss_scale,
+            d.LOSS_GAMMA, d.LOSS_ALPHA, d.LOSS_BETA, d.IGNORED_LABEL,
+            distill_scale,
+        )
+        bbox = jax.vmap(
+            lambda p, t, m, s: select_smooth_l1_loss(
+                p, t, m, s, r.BBOX_REG_BETA, loss_scale * r.BBOX_REG_WEIGHT
+            )
+        )(
+            _group_view(_split_anchor_axis(student_out["bbox_pred"][lvl], a), n_groups),
+            _group_view(batch["bbox_targets"][lvl], n_groups),
+            _group_view(batch["fg_mask"][lvl], n_groups),
+            fg_num,
+        )
+        metrics[f"fl_fpn{lvl}"] = focal
+        metrics[f"fl_distill_fpn{lvl}"] = distill
+        metrics[f"retnet_loss_bbox_fpn{lvl}"] = jnp.sum(bbox)
+        total = total + focal + distill + jnp.sum(bbox)
+    return total, metrics
+
+
 def make_train_step(
     cfg: Config,
     student_model: RetinaNet,
@@ -182,13 +245,18 @@ def make_train_step(
 
         def loss_fn(params):
             out = student_model.apply({"params": params}, batch["data"])
-            total, metrics = retinanet_losses(cfg, out, batch, G)
-            if teacher_probs is not None:
-                d_total, d_metrics = distill_losses(
+            if teacher_probs is not None and cfg.USE_PALLAS_LOSSES:
+                total, metrics = fused_distill_losses(
                     cfg, out, teacher_probs, batch, G
                 )
-                total = total + d_total
-                metrics.update(d_metrics)
+            else:
+                total, metrics = retinanet_losses(cfg, out, batch, G)
+                if teacher_probs is not None:
+                    d_total, d_metrics = distill_losses(
+                        cfg, out, teacher_probs, batch, G
+                    )
+                    total = total + d_total
+                    metrics.update(d_metrics)
             metrics["loss"] = total
             return total, metrics
 

@@ -1,0 +1,140 @@
+"""Fused Pallas loss kernel vs the reference-exact jnp ops (interpret mode on
+CPU; the same code compiles with Mosaic on TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sad_tpu.ops import losses as L
+from sad_tpu.ops.pallas_losses import fused_cls_losses
+
+ATOL = 3e-5
+RTOL = 3e-4
+
+GAMMA_F, ALPHA_F, SCALE_F = 2.0, 0.25, 0.125
+GAMMA_D, ALPHA_D, BETA_D, IGN, SCALE_D = 2.0, 0.5, 0.0, -1, 0.25
+
+
+def _case(seed, n=2, h=6, w=6, a=3, c=80):
+    rng = np.random.RandomState(seed)
+    logits = jnp.asarray(rng.randn(n, h, w, a, c) * 3, jnp.float32)
+    pt = jnp.asarray(rng.uniform(1e-4, 1 - 1e-4, (n, h, w, a, c)), jnp.float32)
+    labels = jnp.asarray(rng.randint(-1, c + 1, (n, h, w, a)), jnp.int32)
+    return logits, pt, labels
+
+
+def _fused(logits, pt, labels, fg, dn):
+    return fused_cls_losses(
+        logits, pt, labels, fg, dn,
+        GAMMA_F, ALPHA_F, SCALE_F, GAMMA_D, ALPHA_D, BETA_D, IGN, SCALE_D,
+    )
+
+
+def _separate(logits, pt, labels, fg, dn):
+    focal = L.sigmoid_focal_loss(logits, labels, fg, GAMMA_F, ALPHA_F, SCALE_F)
+    distill = L.sigmoid_adaptive_distill_loss(
+        logits, pt, labels, dn, GAMMA_D, ALPHA_D, BETA_D, IGN, SCALE_D
+    )
+    return focal, distill
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_fused_forward_matches_separate_ops(seed):
+    logits, pt, labels = _case(seed)
+    fg, dn = jnp.float32(7.0), jnp.float32(423.5)
+    f1, d1 = jax.jit(_fused)(logits, pt, labels, fg, dn)
+    f2, d2 = _separate(logits, pt, labels, fg, dn)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=RTOL, atol=ATOL)
+
+
+def test_fused_backward_matches_separate_ops():
+    logits, pt, labels = _case(3)
+    fg, dn = jnp.float32(5.0), jnp.float32(100.0)
+
+    def total_fused(x):
+        f, d = _fused(x, pt, labels, fg, dn)
+        return 1.3 * f + 0.7 * d
+
+    def total_sep(x):
+        f, d = _separate(x, pt, labels, fg, dn)
+        return 1.3 * f + 0.7 * d
+
+    g1 = jax.jit(jax.grad(total_fused))(logits)
+    g2 = jax.grad(total_sep)(logits)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=RTOL, atol=ATOL)
+
+
+def test_fused_no_teacher_gradient():
+    logits, pt, labels = _case(5)
+    fg, dn = jnp.float32(5.0), jnp.float32(100.0)
+    g = jax.grad(lambda tp: sum(_fused(logits, tp, labels, fg, dn)))(pt)
+    assert float(jnp.abs(g).max()) == 0.0
+
+
+def test_fused_row_padding_is_masked():
+    # row count not a multiple of the kernel tile: padded rows must not leak
+    logits, pt, labels = _case(7, n=1, h=3, w=5, a=1)  # 15 rows
+    fg, dn = jnp.float32(2.0), jnp.float32(50.0)
+    f1, d1 = jax.jit(_fused)(logits, pt, labels, fg, dn)
+    f2, d2 = _separate(logits, pt, labels, fg, dn)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=RTOL, atol=ATOL)
+
+
+def test_train_step_fused_matches_unfused():
+    """End-to-end: one joint distillation step with USE_PALLAS_LOSSES on/off
+    produces identical metrics and parameter updates."""
+    import dataclasses
+
+    from tests.test_model_and_train import tiny_arch, tiny_cfg
+    from sad_tpu.models import RetinaNet
+    from sad_tpu.models.model_builder import init_model_params
+    from sad_tpu.train import TrainState, init_momentum_state, make_train_step
+
+    cfg_fused = dataclasses.replace(tiny_cfg(n_groups=2), USE_PALLAS_LOSSES=True)
+    cfg_plain = dataclasses.replace(cfg_fused, USE_PALLAS_LOSSES=False)
+    arch = tiny_arch()
+    student, teacher = RetinaNet(arch), RetinaNet(arch)
+    H = W = 128
+    B, G = 4, 2
+    sp = init_model_params(student, jax.random.PRNGKey(0), (1, H, W, 3))
+    tp = init_model_params(teacher, jax.random.PRNGKey(1), (1, H, W, 3))
+    rng = np.random.RandomState(0)
+    a = arch.num_anchors
+    batch = {
+        "data": jnp.asarray(rng.randn(B, H, W, 3), jnp.float32),
+        "teacher_data": jnp.asarray(rng.randn(B, H, W, 3), jnp.float32),
+        "labels": {}, "bbox_targets": {}, "fg_mask": {},
+        "fg_num": jnp.asarray([3.0, 5.0], jnp.float32),
+    }
+    for lvl in cfg_fused.fpn_levels():
+        s = 2 ** lvl
+        h, w = H // s, W // s
+        batch["labels"][lvl] = jnp.asarray(rng.randint(-1, 5, (B, h, w, a)), jnp.int32)
+        batch["bbox_targets"][lvl] = jnp.asarray(rng.randn(B, h, w, a, 4), jnp.float32)
+        batch["fg_mask"][lvl] = jnp.asarray(rng.uniform(size=(B, h, w, a)) < 0.05)
+
+    outs = {}
+    for name, cfg in (("fused", cfg_fused), ("plain", cfg_plain)):
+        step = jax.jit(make_train_step(cfg, student, teacher, n_groups=G))
+        state = TrainState(sp, init_momentum_state(sp).velocity)
+        new_state, metrics = step(state, tp, batch, jnp.float32(0.01))
+        outs[name] = (new_state, metrics)
+
+    mf, mp = outs["fused"][1], outs["plain"][1]
+    assert set(mf) == set(mp)
+    for k in mp:
+        np.testing.assert_allclose(
+            np.asarray(mf[k]), np.asarray(mp[k]), rtol=3e-4, atol=3e-5,
+            err_msg=k,
+        )
+    # updated params match
+    jax.tree_util.tree_map(
+        lambda a_, b_: np.testing.assert_allclose(
+            np.asarray(a_), np.asarray(b_), rtol=1e-4, atol=1e-5
+        ),
+        outs["fused"][0].params,
+        outs["plain"][0].params,
+    )
