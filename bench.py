@@ -101,7 +101,7 @@ def main():
             {
                 "metric": "joint_distill_train_imgs_per_sec_per_chip",
                 "value": round(imgs_per_sec, 3),
-                "unit": "imgs/s/chip (R50<-R101 SAD step, 640x1024, bs2)",
+                "unit": "imgs/s/chip (R50<-R101 SAD step, 640x1024, bs8)",
                 "vs_baseline": round(imgs_per_sec / baseline, 3),
             }
         )

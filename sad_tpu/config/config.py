@@ -237,8 +237,11 @@ class Config:
     # compute dtype for backbone/head matmuls ('bfloat16' or 'float32');
     # losses always accumulate in float32.
     COMPUTE_DTYPE: str = "bfloat16"
-    # Use the fused Pallas loss kernel when available.
-    USE_PALLAS_LOSSES: bool = True
+    # Use the fused Pallas loss kernel instead of the jnp ops. Default off:
+    # measured on v5e, XLA's multi-output fusion of the jnp losses is faster
+    # (100 vs 86 imgs/s on the joint step) — the kernel is kept as an
+    # optimization surface (lane packing, bf16 IO) for future rounds.
+    USE_PALLAS_LOSSES: bool = False
 
     # ---------------------------------------------------------------- helpers
 

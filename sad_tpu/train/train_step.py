@@ -84,12 +84,25 @@ def retinanet_losses(
         bbox_tgt = batch["bbox_targets"][lvl]
         fg_mask = batch["fg_mask"][lvl]
 
-        focal = jax.vmap(
-            lambda x, t, s: sigmoid_focal_loss(
-                x, t, s,
-                cfg.RETINANET.LOSS_GAMMA, cfg.RETINANET.LOSS_ALPHA, loss_scale,
-            )
-        )(_group_view(logits, n_groups), _group_view(labels, n_groups), fg_num)
+        if cfg.RETINANET.SOFTMAX:
+            # SoftmaxFocalLoss path (retinanet_heads.py:295-305); the class
+            # axis includes background at index 0
+            from sad_tpu.ops.detectron_ops import softmax_focal_loss
+
+            focal = jax.vmap(
+                lambda x, t, s: softmax_focal_loss(
+                    x, t, s,
+                    cfg.RETINANET.LOSS_GAMMA, cfg.RETINANET.LOSS_ALPHA,
+                    loss_scale,
+                )
+            )(_group_view(logits, n_groups), _group_view(labels, n_groups), fg_num)
+        else:
+            focal = jax.vmap(
+                lambda x, t, s: sigmoid_focal_loss(
+                    x, t, s,
+                    cfg.RETINANET.LOSS_GAMMA, cfg.RETINANET.LOSS_ALPHA, loss_scale,
+                )
+            )(_group_view(logits, n_groups), _group_view(labels, n_groups), fg_num)
         bbox = jax.vmap(
             lambda p, t, m, s: select_smooth_l1_loss(
                 p, t, m, s,
