@@ -52,7 +52,86 @@ class TrainConfig:
     FG_THRESH: float = 0.5
     BG_THRESH_HI: float = 0.5
     BG_THRESH_LO: float = 0.0
+    FG_FRACTION: float = 0.25
+    RPN_BATCH_SIZE_PER_IM: int = 256
+    RPN_FG_FRACTION: float = 0.5
+    RPN_POSITIVE_OVERLAP: float = 0.7
+    RPN_NEGATIVE_OVERLAP: float = 0.3
+    RPN_PRE_NMS_TOP_N: int = 12000
+    RPN_POST_NMS_TOP_N: int = 2000
+    RPN_NMS_THRESH: float = 0.7
+    RPN_MIN_SIZE: int = 0
     PROPOSAL_FILES: Tuple[str, ...] = ()
+
+
+
+@dataclass(frozen=True)
+class SoftNMSConfig:
+    """Soft-NMS options (ref: config.py:411-417)."""
+
+    ENABLED: bool = False
+    METHOD: str = "linear"
+    SIGMA: float = 0.5
+
+
+@dataclass(frozen=True)
+class BBoxVoteConfig:
+    """Box-voting options (ref: config.py:423-438)."""
+
+    ENABLED: bool = False
+    VOTE_TH: float = 0.8
+    SCORING_METHOD: str = "ID"
+    SCORING_METHOD_BETA: float = 1.0
+
+
+@dataclass(frozen=True)
+class BBoxAugConfig:
+    """Test-time bbox augmentation (ref: config.py:301-335)."""
+
+    ENABLED: bool = False
+    SCORE_HEUR: str = "UNION"
+    COORD_HEUR: str = "UNION"
+    H_FLIP: bool = False
+    SCALES: Tuple[int, ...] = ()
+    MAX_SIZE: int = 4000
+    SCALE_H_FLIP: bool = False
+    SCALE_SIZE_DEP: bool = False
+    AREA_TH_LO: float = 50.0 ** 2
+    AREA_TH_HI: float = 180.0 ** 2
+    ASPECT_RATIOS: Tuple[float, ...] = ()
+    ASPECT_RATIO_H_FLIP: bool = False
+
+
+@dataclass(frozen=True)
+class MaskAugConfig:
+    """Test-time mask augmentation (ref: config.py:341-371)."""
+
+    ENABLED: bool = False
+    HEUR: str = "SOFT_AVG"
+    H_FLIP: bool = False
+    SCALES: Tuple[int, ...] = ()
+    MAX_SIZE: int = 4000
+    SCALE_H_FLIP: bool = False
+    SCALE_SIZE_DEP: bool = False
+    AREA_TH: float = 180.0 ** 2
+    ASPECT_RATIOS: Tuple[float, ...] = ()
+    ASPECT_RATIO_H_FLIP: bool = False
+
+
+@dataclass(frozen=True)
+class KpsAugConfig:
+    """Test-time keypoint augmentation (ref: config.py:377-406)."""
+
+    ENABLED: bool = False
+    HEUR: str = "HM_AVG"
+    H_FLIP: bool = False
+    SCALES: Tuple[int, ...] = ()
+    MAX_SIZE: int = 4000
+    SCALE_H_FLIP: bool = False
+    SCALE_SIZE_DEP: bool = False
+    AREA_TH: float = 180.0 ** 2
+    ASPECT_RATIOS: Tuple[float, ...] = ()
+    ASPECT_RATIO_H_FLIP: bool = False
 
 
 @dataclass(frozen=True)
@@ -67,13 +146,11 @@ class TestConfig:
     BBOX_REG: bool = True
     SCORE_THRESH: float = 0.05
     DETECTIONS_PER_IM: int = 100
-    SOFT_NMS_ENABLED: bool = False
-    SOFT_NMS_METHOD: str = "linear"
-    SOFT_NMS_SIGMA: float = 0.5
-    BBOX_VOTE_ENABLED: bool = False
-    BBOX_VOTE_THRESH: float = 0.8
-    BBOX_VOTE_SCORING_METHOD: str = "ID"
-    BBOX_AUG_ENABLED: bool = False
+    SOFT_NMS: "SoftNMSConfig" = field(default_factory=lambda: SoftNMSConfig())
+    BBOX_VOTE: "BBoxVoteConfig" = field(default_factory=lambda: BBoxVoteConfig())
+    BBOX_AUG: "BBoxAugConfig" = field(default_factory=lambda: BBoxAugConfig())
+    MASK_AUG: "MaskAugConfig" = field(default_factory=lambda: MaskAugConfig())
+    KPS_AUG: "KpsAugConfig" = field(default_factory=lambda: KpsAugConfig())
     RPN_PRE_NMS_TOP_N: int = 12000
     RPN_POST_NMS_TOP_N: int = 2000
     RPN_NMS_THRESH: float = 0.7
@@ -164,6 +241,72 @@ class ResNetsConfig:
 
 
 @dataclass(frozen=True)
+class RPNConfig:
+    """Region Proposal Network options (ref: config.py RPN section)."""
+
+    RPN_ON: bool = False
+    SIZES: Tuple[int, ...] = (64, 128, 256, 512)
+    STRIDE: int = 16
+    ASPECT_RATIOS: Tuple[float, ...] = (0.5, 1.0, 2.0)
+
+
+@dataclass(frozen=True)
+class FastRCNNConfig:
+    """Fast/Faster R-CNN box head options (ref: config.py FAST_RCNN)."""
+
+    ROI_BOX_HEAD: str = "fast_rcnn_heads.add_roi_2mlp_head"
+    MLP_HEAD_DIM: int = 1024
+    CONV_HEAD_DIM: int = 256
+    NUM_STACKED_CONVS: int = 4
+    ROI_XFORM_METHOD: str = "RoIAlign"
+    ROI_XFORM_RESOLUTION: int = 7
+    ROI_XFORM_SAMPLING_RATIO: int = 2  # 0 (adaptive) is not traceable on TPU
+    CONV_INIT: str = "GaussianFill"
+
+
+@dataclass(frozen=True)
+class MRCNNConfig:
+    """Mask R-CNN head options (ref: config.py MRCNN)."""
+
+    ROI_MASK_HEAD: str = "mask_rcnn_heads.mask_rcnn_fcn_head_v1up4convs"
+    RESOLUTION: int = 28
+    ROI_XFORM_METHOD: str = "RoIAlign"
+    ROI_XFORM_RESOLUTION: int = 14
+    ROI_XFORM_SAMPLING_RATIO: int = 2
+    DIM_REDUCED: int = 256
+    DILATION: int = 1
+    CLS_SPECIFIC_MASK: bool = True
+    WEIGHT_LOSS_MASK: float = 1.0
+    THRESH_BINARIZE: float = 0.5
+    CONV_INIT: str = "GaussianFill"
+    UPSAMPLE_RATIO: int = 1
+    USE_FC_OUTPUT: bool = False
+
+
+@dataclass(frozen=True)
+class KRCNNConfig:
+    """Keypoint R-CNN head options (ref: config.py KRCNN)."""
+
+    ROI_KEYPOINTS_HEAD: str = "keypoint_rcnn_heads.add_roi_pose_head_v1convX"
+    NUM_KEYPOINTS: int = 17
+    NUM_STACKED_CONVS: int = 8
+    CONV_HEAD_DIM: int = 512
+    CONV_HEAD_KERNEL: int = 3
+    UP_SCALE: int = 2
+    HEATMAP_SIZE: int = 56
+    ROI_XFORM_METHOD: str = "RoIAlign"
+    ROI_XFORM_RESOLUTION: int = 14
+    ROI_XFORM_SAMPLING_RATIO: int = 2
+    LOSS_WEIGHT: float = 1.0
+    NORMALIZE_BY_VISIBLE_KEYPOINTS: bool = True
+    CONV_INIT: str = "GaussianFill"
+    USE_DECONV_OUTPUT: bool = False
+    KEYPOINT_CONFIDENCE: str = "bbox"
+    MIN_KEYPOINT_COUNT_FOR_VALID_MINIBATCH: int = 20
+    NMS_OKS: bool = False
+
+
+@dataclass(frozen=True)
 class SolverConfig:
     """SGD schedule options (ref: config.py SOLVER section)."""
 
@@ -212,6 +355,10 @@ class Config:
     FPN: FPNConfig = field(default_factory=FPNConfig)
     RETINANET: RetinaNetConfig = field(default_factory=RetinaNetConfig)
     RESNETS: ResNetsConfig = field(default_factory=ResNetsConfig)
+    RPN: RPNConfig = field(default_factory=RPNConfig)
+    FAST_RCNN: FastRCNNConfig = field(default_factory=FastRCNNConfig)
+    MRCNN: MRCNNConfig = field(default_factory=MRCNNConfig)
+    KRCNN: KRCNNConfig = field(default_factory=KRCNNConfig)
     SOLVER: SolverConfig = field(default_factory=SolverConfig)
     DISTILLATION: DistillationConfig = field(default_factory=DistillationConfig)
 
@@ -287,7 +434,7 @@ _RENAMED_KEYS = {
 
 # Sections present in reference YAMLs that sad_tpu does not model yet; keys in
 # these sections are validated as "known but inert" so upstream configs load.
-_INERT_SECTIONS = {"RPN", "FAST_RCNN", "MRCNN", "KRCNN", "RFCN", "VGG", "VGG_CNN_M_1024"}
+_INERT_SECTIONS = {"RFCN", "VGG", "VGG_CNN_M_1024"}
 
 # Top-level scalar keys from the reference accepted but unused on TPU.
 _INERT_TOP_KEYS = {
@@ -347,6 +494,10 @@ def _merge_section(section_obj: Any, updates: Dict[str, Any], prefix: str) -> An
         if key not in field_map:
             raise ConfigError(f"Non-existent config key: {full_key}")
         f = field_map[key]
+        current = getattr(section_obj, key)
+        if dataclasses.is_dataclass(current) and isinstance(value, dict):
+            kwargs[key] = _merge_section(current, value, full_key)
+            continue
         kwargs[key] = _coerce(value, f.type if isinstance(f.type, type) else _resolve_type(section_obj, f), full_key)
     return replace(section_obj, **kwargs)
 

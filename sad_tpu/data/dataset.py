@@ -75,6 +75,8 @@ class CocoDataset:
                 "boxes": np.zeros((0, 4), np.float32),
                 "gt_classes": np.zeros((0,), np.int32),
                 "is_crowd": np.zeros((0,), bool),
+                "segms": [],
+                "gt_keypoints": np.zeros((0, 17, 3), np.float32),
             }
             if include_gt:
                 self._add_gt(entry)
@@ -83,7 +85,7 @@ class CocoDataset:
 
     def _add_gt(self, entry: dict) -> None:
         h, w = entry["height"], entry["width"]
-        boxes, classes, crowd = [], [], []
+        boxes, classes, crowd, segms, kps = [], [], [], [], []
         for ann in self._anns_by_image.get(entry["id"], []):
             if ann.get("ignore", 0):
                 continue
@@ -96,10 +98,25 @@ class CocoDataset:
                 boxes.append([x1, y1, x2, y2])
                 classes.append(self.json_to_contiguous[ann["category_id"]])
                 crowd.append(bool(ann.get("iscrowd", 0)))
+                seg = ann.get("segmentation", [])
+                segms.append(seg if isinstance(seg, list) else [])
+                k = ann.get("keypoints")
+                kps.append(
+                    np.asarray(k, np.float32).reshape(-1, 3)
+                    if k
+                    else np.zeros((0, 3), np.float32)
+                )
         if boxes:
             entry["boxes"] = np.asarray(boxes, np.float32)
             entry["gt_classes"] = np.asarray(classes, np.int32)
             entry["is_crowd"] = np.asarray(crowd, bool)
+            entry["segms"] = segms
+            nk = max((len(k) for k in kps), default=0)
+            if nk:
+                arr = np.zeros((len(kps), nk, 3), np.float32)
+                for i, k in enumerate(kps):
+                    arr[i, : len(k)] = k
+                entry["gt_keypoints"] = arr
 
 
 def flip_entry(entry: dict) -> dict:
@@ -113,6 +130,16 @@ def flip_entry(entry: dict) -> dict:
     out = dict(entry)
     out["boxes"] = boxes
     out["flipped"] = True
+    if entry.get("segms"):
+        from sad_tpu.utils.segms import flip_polys
+
+        out["segms"] = [flip_polys(s, w) for s in entry["segms"]]
+    kp = entry.get("gt_keypoints")
+    if kp is not None and len(kp):
+        kp = kp.copy()
+        vis = kp[..., 2] > 0
+        kp[..., 0] = np.where(vis, w - kp[..., 0] - 1, kp[..., 0])
+        out["gt_keypoints"] = kp
     return out
 
 

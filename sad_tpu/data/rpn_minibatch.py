@@ -1,0 +1,176 @@
+"""RPN training targets (host side, numpy).
+
+Capability-equivalent to detectron/lib/roi_data/rpn.py add_rpn_blobs +
+_get_rpn_blobs (FPN path):
+- anchors: 1 size per level (RPN_ANCHOR_START_SIZE * 2^(lvl-min)), all
+  RPN_ASPECT_RATIOS (FPN.py/rpn_heads.py FPN wiring),
+- straddle filter: anchors crossing the image border by more than
+  TRAIN.RPN_STRADDLE_THRESH are excluded (-1) from assignment
+  (rpn.py inds_inside; thresh < 0 keeps all),
+- labels: 1 for each gt's max-overlap anchors (with ties) and IoU >=
+  RPN_POSITIVE_OVERLAP; 0 for IoU < RPN_NEGATIVE_OVERLAP; else -1,
+- subsample to RPN_BATCH_SIZE_PER_IM with <= RPN_FG_FRACTION foreground
+  (rpn.py:195-213),
+- bbox targets on fg anchors; inside weights 1 on fg; outside weights
+  1/num_examples on all sampled anchors (rpn.py:216-237).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from sad_tpu.config import Config
+
+from .anchors import AnchorGrid, _assignment_iou, _encode_boxes, field_of_anchors, generate_cell_anchors
+
+
+def rpn_anchor_grid(cfg: Config, canvas_h: int, canvas_w: int) -> AnchorGrid:
+    fields, strides, hw = [], [], []
+    levels = tuple(range(cfg.FPN.RPN_MIN_LEVEL, cfg.FPN.RPN_MAX_LEVEL + 1))
+    for lvl in levels:
+        stride = 2.0 ** lvl
+        size = cfg.FPN.RPN_ANCHOR_START_SIZE * (2 ** (lvl - cfg.FPN.RPN_MIN_LEVEL))
+        cell = np.concatenate(
+            [
+                generate_cell_anchors(stride, (size,), (ar,))
+                for ar in cfg.FPN.RPN_ASPECT_RATIOS
+            ]
+        )
+        fh = int(np.ceil(canvas_h / stride))
+        fw = int(np.ceil(canvas_w / stride))
+        fields.append(field_of_anchors(cell, stride, fh, fw))
+        strides.append(stride)
+        hw.append((fh, fw))
+    return AnchorGrid(
+        levels=levels,
+        strides=tuple(strides),
+        field_hw=tuple(hw),
+        anchors=tuple(fields),
+        num_anchors=fields[0].shape[2],
+    )
+
+
+def assign_rpn_labels(
+    cfg: Config,
+    grid: AnchorGrid,
+    gt_boxes: np.ndarray,  # (G, 4) scaled
+    im_h: float,
+    im_w: float,
+    rng: np.random.RandomState,
+) -> Tuple[List[np.ndarray], List[np.ndarray], List[np.ndarray], List[np.ndarray]]:
+    """Returns per-level (labels (H,W,A), targets (H,W,A,4),
+    inside_w (H,W,A,4), outside_w (H,W,A,4))."""
+    flat = grid.flat_anchors()
+    total = flat.shape[0]
+    labels = np.full((total,), -1, np.int32)
+    targets = np.zeros((total, 4), np.float32)
+
+    straddle = cfg.TRAIN.RPN_STRADDLE_THRESH
+    if straddle >= 0:
+        inside = (
+            (flat[:, 0] >= -straddle)
+            & (flat[:, 1] >= -straddle)
+            & (flat[:, 2] < im_w + straddle)
+            & (flat[:, 3] < im_h + straddle)
+        )
+    else:
+        inside = np.ones((total,), bool)
+
+    if len(gt_boxes) > 0:
+        iou = _assignment_iou(flat, gt_boxes)
+        iou[~inside] = -1.0
+        a2g_argmax = iou.argmax(axis=1)
+        a2g_max = iou[np.arange(total), a2g_argmax]
+        g2a_max = iou.max(axis=0)
+        ties = (iou == g2a_max[None, :]).any(axis=1) & inside
+        labels[ties] = 1
+        labels[(a2g_max >= cfg.TRAIN.RPN_POSITIVE_OVERLAP) & inside] = 1
+        bg = (a2g_max < cfg.TRAIN.RPN_NEGATIVE_OVERLAP) & inside
+        bg &= labels != 1
+        labels[bg] = 0
+    else:
+        labels[inside] = 0
+
+    # subsample (rpn.py:195-213)
+    num_fg_cap = int(cfg.TRAIN.RPN_FG_FRACTION * cfg.TRAIN.RPN_BATCH_SIZE_PER_IM)
+    fg_inds = np.where(labels == 1)[0]
+    if len(fg_inds) > num_fg_cap:
+        disable = rng.choice(fg_inds, len(fg_inds) - num_fg_cap, replace=False)
+        labels[disable] = -1
+        fg_inds = np.where(labels == 1)[0]
+    num_bg_cap = cfg.TRAIN.RPN_BATCH_SIZE_PER_IM - (labels == 1).sum()
+    bg_inds = np.where(labels == 0)[0]
+    if len(bg_inds) > num_bg_cap:
+        disable = rng.choice(bg_inds, len(bg_inds) - num_bg_cap, replace=False)
+        labels[disable] = -1
+
+    if len(gt_boxes) > 0 and len(fg_inds) > 0:
+        targets[fg_inds] = _encode_boxes(flat[fg_inds], gt_boxes[a2g_argmax[fg_inds]])
+
+    inside_w = np.zeros((total, 4), np.float32)
+    inside_w[labels == 1] = 1.0
+    outside_w = np.zeros((total, 4), np.float32)
+    num_examples = max((labels >= 0).sum(), 1)
+    outside_w[labels >= 0] = 1.0 / num_examples
+
+    out = []
+    start = 0
+    for (fh, fw) in grid.field_hw:
+        n = fh * fw * grid.num_anchors
+        sl = slice(start, start + n)
+        out.append(
+            (
+                labels[sl].reshape(fh, fw, grid.num_anchors),
+                targets[sl].reshape(fh, fw, grid.num_anchors, 4),
+                inside_w[sl].reshape(fh, fw, grid.num_anchors, 4),
+                outside_w[sl].reshape(fh, fw, grid.num_anchors, 4),
+            )
+        )
+        start += n
+    return tuple(zip(*out))
+
+
+def add_rpn_blobs_to_batch(
+    cfg: Config,
+    batch: Dict,
+    entries: List[dict],
+    canvas: Tuple[int, int],
+    im_scales: np.ndarray,
+    seed: int = 0,
+) -> None:
+    """Fill batch['rpn_labels'/'rpn_bbox_targets'/'rpn_bbox_inside_weights'/
+    'rpn_bbox_outside_weights'] per FPN level, plus padded gt arrays for the
+    on-device proposal-label sampling."""
+    ch, cw = canvas
+    grid = rpn_anchor_grid(cfg, ch, cw)
+    n = len(entries)
+    rng = np.random.RandomState(seed)
+    levels = grid.levels
+    A = grid.num_anchors
+    batch["rpn_labels"] = {
+        lvl: np.zeros((n, fh, fw, A), np.int32)
+        for lvl, (fh, fw) in zip(levels, grid.field_hw)
+    }
+    for key in ("rpn_bbox_targets", "rpn_bbox_inside_weights", "rpn_bbox_outside_weights"):
+        batch[key] = {
+            lvl: np.zeros((n, fh, fw, A, 4), np.float32)
+            for lvl, (fh, fw) in zip(levels, grid.field_hw)
+        }
+    g_max = max(max((len(e["boxes"]) for e in entries), default=1), 1)
+    batch["gt_boxes"] = np.zeros((n, g_max, 4), np.float32)
+    batch["gt_classes"] = np.zeros((n, g_max), np.int32)
+
+    for i, e in enumerate(entries):
+        keep = (e["gt_classes"] > 0) & (~e["is_crowd"])
+        gt = e["boxes"][keep] * im_scales[i]
+        cls = e["gt_classes"][keep]
+        lv = assign_rpn_labels(cfg, grid, gt, ch, cw, rng)
+        for j, lvl in enumerate(levels):
+            batch["rpn_labels"][lvl][i] = lv[0][j]
+            batch["rpn_bbox_targets"][lvl][i] = lv[1][j]
+            batch["rpn_bbox_inside_weights"][lvl][i] = lv[2][j]
+            batch["rpn_bbox_outside_weights"][lvl][i] = lv[3][j]
+        batch["gt_boxes"][i, : len(gt)] = gt
+        batch["gt_classes"][i, : len(cls)] = cls

@@ -1,0 +1,137 @@
+"""Fast/Faster R-CNN box inference decode — batched, on device.
+
+Capability-equivalent to detectron/lib/core/test.py im_detect_bbox +
+box_results_with_nms_and_limit (test.py:52-193): softmax class scores,
+per-class delta decode with MODEL.BBOX_REG_WEIGHTS, score threshold,
+class-wise NMS (or soft-NMS on host), global top DETECTIONS_PER_IM.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import jax
+import jax.numpy as jnp
+
+from sad_tpu.config import Config
+from sad_tpu.ops.box_transforms import bbox_transform, clip_boxes
+from sad_tpu.ops.nms import batched_nms
+
+
+def decode_rcnn_detections(
+    cfg: Config,
+    rois: jnp.ndarray,  # (B, R, 4) in network-input coords
+    roi_valid: jnp.ndarray,  # (B, R)
+    cls_prob: jnp.ndarray,  # (B, R, C)
+    bbox_pred: jnp.ndarray,  # (B, R, 4C) or (B, R, 8) cls-agnostic
+    im_hw: jnp.ndarray,  # (B, 2) original sizes
+    im_scale: jnp.ndarray,  # (B,)
+) -> Dict[str, jnp.ndarray]:
+    """Returns (B, DETECTIONS_PER_IM) 'boxes'/'scores'/'classes'/'valid'."""
+    num_classes = cls_prob.shape[-1]
+    cls_agnostic = cfg.MODEL.CLS_AGNOSTIC_BBOX_REG
+
+    def one_image(boxes, valid, probs, deltas, hw, scale):
+        r = boxes.shape[0]
+        fg = num_classes - 1
+        # per (roi, fg class) candidates
+        if cls_agnostic:
+            d = jnp.broadcast_to(deltas[:, None, 4:8], (r, fg, 4))
+        else:
+            d = deltas.reshape(r, num_classes, 4)[:, 1:, :]
+        b = jnp.broadcast_to(boxes[:, None, :], (r, fg, 4)).reshape(-1, 4)
+        decoded = bbox_transform(
+            b, d.reshape(-1, 4), cfg.MODEL.BBOX_REG_WEIGHTS
+        )
+        if not cfg.TEST.BBOX_REG:
+            decoded = b
+        decoded = decoded / scale
+        h, w = hw[0], hw[1]
+        decoded = clip_boxes(decoded, h, w)
+
+        scores = probs[:, 1:].reshape(-1)
+        classes = jnp.broadcast_to(
+            jnp.arange(fg)[None, :], (r, fg)
+        ).reshape(-1)
+        cand_valid = (
+            jnp.broadcast_to(valid[:, None], (r, fg)).reshape(-1)
+            & (scores > cfg.TEST.SCORE_THRESH)
+        )
+        keep_idx, keep_valid = batched_nms(
+            decoded, scores, classes, cand_valid,
+            cfg.TEST.NMS, cfg.TEST.DETECTIONS_PER_IM,
+        )
+        return {
+            "boxes": decoded[keep_idx],
+            "scores": jnp.where(keep_valid, scores[keep_idx], 0.0),
+            "classes": jnp.where(keep_valid, classes[keep_idx] + 1, 0),
+            "valid": keep_valid,
+        }
+
+    return jax.vmap(one_image)(
+        rois, roi_valid, cls_prob, bbox_pred, im_hw, im_scale
+    )
+
+
+def make_rcnn_inference_fn(cfg: Config, model) -> Callable:
+    """Jitted Faster R-CNN end-to-end: images -> detections (+ optional
+    mask/keypoint head outputs on the kept boxes)."""
+
+    def infer(params, images, im_hw, im_scale):
+        out = model.apply({"params": params}, images, im_hw)
+        dets = decode_rcnn_detections(
+            cfg,
+            out["rois"],
+            out["roi_valid"],
+            out["cls_prob"],
+            out["bbox_pred"],
+            im_hw,
+            im_scale,
+        )
+        if cfg.MODEL.MASK_ON or cfg.MODEL.KEYPOINTS_ON:
+            from sad_tpu.ops.proposals import (
+                map_rois_to_fpn_levels,
+                multilevel_roi_align,
+            )
+
+            b, k = dets["boxes"].shape[:2]
+            # kept boxes back to network-input coords for RoIAlign
+            net_boxes = dets["boxes"] * im_scale[:, None, None]
+            lvls = jax.vmap(
+                lambda bx: map_rois_to_fpn_levels(
+                    bx, cfg.FPN.ROI_MIN_LEVEL, cfg.FPN.ROI_MAX_LEVEL,
+                    cfg.FPN.ROI_CANONICAL_SCALE, cfg.FPN.ROI_CANONICAL_LEVEL,
+                )
+            )(net_boxes)
+            batch_col = jnp.repeat(
+                jnp.arange(b, dtype=jnp.float32), k
+            )[:, None]
+            flat = jnp.concatenate([batch_col, net_boxes.reshape(-1, 4)], axis=1)
+            feats = {
+                l: out["features"][l]
+                for l in range(cfg.FPN.ROI_MIN_LEVEL, cfg.FPN.ROI_MAX_LEVEL + 1)
+                if l in out["features"]
+            }
+            if cfg.MODEL.MASK_ON:
+                mf = multilevel_roi_align(
+                    feats, flat, lvls.reshape(-1), dets["valid"].reshape(-1),
+                    cfg.MRCNN.ROI_XFORM_RESOLUTION,
+                    cfg.MRCNN.ROI_XFORM_SAMPLING_RATIO,
+                )
+                logits = model.apply(
+                    {"params": params}, mf, method="mask_heads"
+                )
+                dets["mask_prob"] = jax.nn.sigmoid(logits).reshape(
+                    (b, k) + logits.shape[1:]
+                )
+            if cfg.MODEL.KEYPOINTS_ON:
+                kf = multilevel_roi_align(
+                    feats, flat, lvls.reshape(-1), dets["valid"].reshape(-1),
+                    cfg.KRCNN.ROI_XFORM_RESOLUTION,
+                    cfg.KRCNN.ROI_XFORM_SAMPLING_RATIO,
+                )
+                hm = model.apply({"params": params}, kf, method="keypoint_heads")
+                dets["kps_heatmaps"] = hm.reshape((b, k) + hm.shape[1:])
+        return dets
+
+    return jax.jit(infer)

@@ -72,16 +72,30 @@ def prepare_test_batch(cfg: Config, entries: List[dict], canvas) -> Dict:
     return {"data": data, "im_hw": im_hw, "im_scale": scales}
 
 
+def _make_infer_fn(cfg: Config, model):
+    """Dispatch by model type (ref: im_detect_all branching, test.py:52-58)."""
+    if cfg.MODEL.TYPE in ("generalized_rcnn", "rpn"):
+        from .rcnn_inference import make_rcnn_inference_fn
+
+        fn = make_rcnn_inference_fn(cfg, model)
+
+        def infer(params, data, im_hw, im_scale):
+            return fn(params, data, im_hw, im_scale)
+
+        return infer
+    return make_inference_fn(cfg, model)
+
+
 def run_inference_on_roidb(
     cfg: Config,
-    model: RetinaNet,
+    model,
     params,
     roidb: List[dict],
     contiguous_to_json: Dict[int, int],
     batch_size: int = 8,
 ) -> List[Dict]:
     """Returns COCO-format detection dicts for every image."""
-    infer = make_inference_fn(cfg, model)
+    infer = _make_infer_fn(cfg, model)
     land, port = _test_canvas_shapes(cfg)
     groups = {"l": [], "p": []}
     for e in roidb:

@@ -39,6 +39,7 @@ class ModelArch:
     zero_init_lateral: bool
     min_level: int
     max_level: int
+    extra_conv_levels: bool
 
     num_classes: int  # includes background
     aspect_ratios: Tuple[float, ...]
@@ -101,6 +102,7 @@ def arch_from_config(cfg: Config) -> ModelArch:
         zero_init_lateral=cfg.FPN.ZERO_INIT_LATERAL,
         min_level=cfg.FPN.RPN_MIN_LEVEL,
         max_level=cfg.FPN.RPN_MAX_LEVEL,
+        extra_conv_levels=cfg.FPN.EXTRA_CONV_LEVELS,
         num_classes=cfg.MODEL.NUM_CLASSES,
         aspect_ratios=tuple(cfg.RETINANET.ASPECT_RATIOS),
         scales_per_octave=cfg.RETINANET.SCALES_PER_OCTAVE,

@@ -80,16 +80,28 @@ class FPNRetinaNetBackbone(nn.Module):
                 kernel_init=xavier, bias_init=zero,
             )(inners[i])
 
-        # extra levels P6/P7 from the raw res5 feature (FPN.py:202-222)
+        # extra levels above P5:
         if a.max_level > top_backbone_level:
-            feat = body_out[stage_names[-1]]
-            for lvl in range(top_backbone_level + 1, a.max_level + 1):
-                if lvl > top_backbone_level + 1:
-                    feat = nn.relu(feat)
-                feat = _conv(
-                    f"fpn_{lvl}", a.fpn_dim, 3, 2, use_bias=True, dtype=dtype,
-                    kernel_init=xavier, bias_init=zero,
-                )(feat)
-                pyramid[lvl] = feat
+            if a.extra_conv_levels:
+                # RetinaNet P6/P7: stride-2 convs on the raw res5 feature
+                # (FPN.py:202-222)
+                feat = body_out[stage_names[-1]]
+                for lvl in range(top_backbone_level + 1, a.max_level + 1):
+                    if lvl > top_backbone_level + 1:
+                        feat = nn.relu(feat)
+                    feat = _conv(
+                        f"fpn_{lvl}", a.fpn_dim, 3, 2, use_bias=True, dtype=dtype,
+                        kernel_init=xavier, bias_init=zero,
+                    )(feat)
+                    pyramid[lvl] = feat
+            else:
+                # original FPN P6: stride-2 max-pool subsample of P5
+                # (FPN.py:192-198)
+                assert a.max_level == top_backbone_level + 1, (
+                    "levels above P6 need FPN.EXTRA_CONV_LEVELS"
+                )
+                pyramid[a.max_level] = nn.max_pool(
+                    pyramid[top_backbone_level], (1, 1), strides=(2, 2)
+                )
 
         return {lvl: pyramid[lvl] for lvl in a.levels}

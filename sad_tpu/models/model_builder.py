@@ -33,15 +33,27 @@ def create_model(cfg: Config) -> RetinaNet:
     mtype = cfg.MODEL.TYPE
     if mtype in ("retinanet", "distillation"):
         return RetinaNet(arch_from_config(cfg))
+    if mtype in ("generalized_rcnn", "rpn"):
+        from .rcnn import GeneralizedRCNN
+
+        return GeneralizedRCNN(cfg)
     raise NotImplementedError(
         f"MODEL.TYPE={mtype!r} not implemented yet in sad_tpu "
-        "(reference surface: generalized_rcnn, rfcn)"
+        "(reference surface remaining: rfcn)"
     )
 
 
-def init_model_params(model: RetinaNet, rng: jax.Array, image_shape) -> Any:
-    """Initialize a param pytree for a (N, H, W, 3) input shape."""
+def init_model_params(model, rng: jax.Array, image_shape) -> Any:
+    """Initialize a param pytree for a (N, H, W, 3) input shape, touching
+    every head (R-CNN aux heads included)."""
     dummy = jnp.zeros(image_shape, jnp.float32)
+    from .rcnn import GeneralizedRCNN
+
+    if isinstance(model, GeneralizedRCNN):
+        im_hw = jnp.asarray(
+            [[image_shape[1], image_shape[2]]] * image_shape[0], jnp.float32
+        )
+        return model.init(rng, dummy, im_hw, method="init_all")["params"]
     return model.init(rng, dummy)["params"]
 
 

@@ -131,12 +131,12 @@ class ResNetBody(nn.Module):
             inner = dim_bottleneck * (2 ** (stage_idx - 2))
             s = p
             for i in range(n_blocks):
-                # stride 2 on the first block of res3..res5 (res2 follows the
-                # stride-2 max pool, ResNet.py:171-175)
-                stride = (
-                    2 if (i == 0 and dim_in != dim_out and dim_in != 64 and dilation == 1)
-                    else 1
-                )
+                # stride 2 on the first block of res3..res5; res2 follows the
+                # stride-2 max pool. The reference detects the stem with a
+                # `dim_in != 64` heuristic (ResNet.py:171-175) that breaks
+                # for small CHANNEL_RATIOs; use the stage index instead
+                # (identical behavior at all real widths).
+                stride = 2 if (i == 0 and stage_idx > 2 and dilation == 1) else 1
                 s = Bottleneck(
                     prefix=f"res{stage_idx}_{i}",
                     dim_in=dim_in,

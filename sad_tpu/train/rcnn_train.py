@@ -1,0 +1,316 @@
+"""Faster/Mask R-CNN end-to-end training step.
+
+Capability-equivalent to the reference's generalized_rcnn training graph
+(model_builder.py:74-92 + rpn_heads.py/FPN.py RPN losses +
+fast_rcnn_heads.py losses + the GenerateProposalLabels Python op), as one
+jitted function: backbone -> RPN losses -> on-device proposal generation ->
+on-device fg/bg sampling (sad_tpu.ops.proposals.sample_proposal_labels) ->
+multilevel RoIAlign -> box head losses -> momentum SGD.
+
+Loss wiring preserved:
+- RPN cls: sum sigmoid-CE over sampled anchors, scaled by
+  loss_scale / (RPN_BATCH_SIZE_PER_IM * IMS_PER_BATCH) (FPN.py:410-418),
+- RPN bbox: SmoothL1 with inside/outside weights, beta=1/9, scale/N
+  (FPN.py:422-431) — the 1/num_examples normalization rides the outside
+  weights built by the host loader,
+- box head: softmax CE mean over sampled RoIs + SmoothL1 with
+  class-specific weights (fast_rcnn_heads.py add_fast_rcnn_losses).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from sad_tpu.config import Config
+from sad_tpu.models import bias_mask, trainable_mask
+from sad_tpu.ops.losses import smooth_l1_loss
+from sad_tpu.ops.proposals import (
+    collect_and_distribute_fpn_proposals,
+    generate_proposals,
+    multilevel_roi_align,
+    sample_proposal_labels,
+)
+
+from .optimizer import MomentumSGDState, momentum_sgd_update
+from .train_step import TrainState
+
+FLT_MIN = 1.1754944e-38
+
+
+def rpn_losses(cfg: Config, logits, deltas, batch, n_groups: int):
+    """Per-level RPN losses (FPN.py:391-431)."""
+    loss_scale = 1.0 / n_groups
+    ims = cfg.TRAIN.IMS_PER_BATCH
+    metrics = {}
+    total = jnp.float32(0.0)
+    for lvl in sorted(logits):
+        x = logits[lvl].astype(jnp.float32)
+        t = batch["rpn_labels"][lvl]
+        # sum-CE with -1 ignored (SigmoidCrossEntropyLoss normalize=0)
+        ge = (x >= 0).astype(jnp.float32)
+        tf = t.astype(jnp.float32)
+        ce = (-x * (tf - ge) + jnp.log(1.0 + jnp.exp(x - 2.0 * x * ge)))
+        ce = jnp.where(t == -1, 0.0, ce)
+        cls = (
+            jnp.sum(ce, dtype=jnp.float32)
+            * loss_scale
+            / (cfg.TRAIN.RPN_BATCH_SIZE_PER_IM * ims)
+        )
+        a = t.shape[-1]
+        d = deltas[lvl].reshape(deltas[lvl].shape[:-1] + (a, 4))
+        bbox = smooth_l1_loss(
+            d,
+            batch["rpn_bbox_targets"][lvl],
+            batch["rpn_bbox_inside_weights"][lvl],
+            batch["rpn_bbox_outside_weights"][lvl],
+            beta=1.0 / 9.0,
+            scale=loss_scale,
+        )
+        metrics[f"loss_rpn_cls_fpn{lvl}"] = cls
+        metrics[f"loss_rpn_bbox_fpn{lvl}"] = bbox
+        total = total + cls + bbox
+    return total, metrics
+
+
+def fast_rcnn_losses(cfg: Config, cls_score, labels, bbox_pred, bbox_targets,
+                     inside_w, outside_w, valid, n_groups: int):
+    """Box-head losses (fast_rcnn_heads.py add_fast_rcnn_losses):
+    SoftmaxWithLoss (mean over RoIs) + SmoothL1Loss."""
+    loss_scale = 1.0 / n_groups
+    logp = jax.nn.log_softmax(cls_score.astype(jnp.float32), axis=-1)
+    t = jnp.maximum(labels, 0)
+    nll = -jnp.take_along_axis(logp, t[:, None], axis=-1)[:, 0]
+    nll = jnp.where(valid & (labels >= 0), nll, 0.0)
+    n_valid = jnp.maximum(jnp.sum((valid & (labels >= 0)).astype(jnp.float32)), 1.0)
+    cls_loss = loss_scale * jnp.sum(nll, dtype=jnp.float32) / n_valid
+
+    bbox_loss = smooth_l1_loss(
+        bbox_pred, bbox_targets, inside_w, outside_w, beta=1.0, scale=loss_scale
+    )
+    # SmoothL1Loss normalizes by dim0 (R); the reference normalizes by the
+    # same R (rois-per-batch), so weights already match.
+    accuracy = jnp.sum(
+        ((jnp.argmax(cls_score, -1) == labels) & valid).astype(jnp.float32)
+    ) / n_valid
+    return cls_loss + bbox_loss, {
+        "loss_cls": cls_loss,
+        "loss_bbox": bbox_loss,
+        "accuracy_cls": accuracy,
+    }
+
+
+def make_rcnn_train_step(
+    cfg: Config, model, n_groups: Optional[int] = None
+) -> Callable:
+    """step(state, batch, lr, rng) -> (new_state, metrics).
+
+    Batch pytree (host loader + rpn_minibatch.add_rpn_blobs_to_batch):
+      data (B,H,W,3), im_hw (B,2),
+      rpn_labels/bbox_targets/inside/outside per level,
+      gt_boxes (B,G,4), gt_classes (B,G).
+    """
+    solver = cfg.SOLVER
+    rpn_levels = tuple(range(cfg.FPN.RPN_MIN_LEVEL, cfg.FPN.RPN_MAX_LEVEL + 1))
+
+    def step(state: TrainState, batch, lr, rng):
+        G = n_groups or cfg.NUM_GPUS
+
+        def loss_fn(params):
+            b = batch["data"].shape[0]
+            feats = model.apply(
+                {"params": params}, batch["data"], method="backbone"
+            )
+            rpn_feats = {l: feats[l] for l in rpn_levels if l in feats}
+            logits, deltas = model.apply(
+                {"params": params}, rpn_feats,
+                method=lambda m, f: m.rpn(f),
+            )
+            total, metrics = rpn_losses(cfg, logits, deltas, batch, G)
+
+            # ---- proposals (train-mode top-Ns) + on-device sampling
+            import numpy as np
+
+            from sad_tpu.data.anchors import field_of_anchors, generate_cell_anchors
+
+            def one_image(i, rng_i):
+                lv_b, lv_s, lv_v = {}, {}, {}
+                for lvl in rpn_feats:
+                    h, w = rpn_feats[lvl].shape[1:3]
+                    stride = 2.0 ** lvl
+                    size = cfg.FPN.RPN_ANCHOR_START_SIZE * (
+                        2 ** (lvl - cfg.FPN.RPN_MIN_LEVEL)
+                    )
+                    cell = np.concatenate(
+                        [
+                            generate_cell_anchors(stride, (size,), (ar,))
+                            for ar in cfg.FPN.RPN_ASPECT_RATIOS
+                        ]
+                    )
+                    anchors = jnp.asarray(
+                        field_of_anchors(cell, stride, h, w), jnp.float32
+                    )
+                    na = len(cfg.FPN.RPN_ASPECT_RATIOS)
+                    scores = jax.nn.sigmoid(
+                        jax.lax.stop_gradient(logits[lvl][i])
+                    )
+                    d = jax.lax.stop_gradient(
+                        deltas[lvl][i].reshape(h, w, na, 4)
+                    )
+                    bx, sc, va = generate_proposals(
+                        scores, d, anchors, batch["im_hw"][i],
+                        cfg.TRAIN.RPN_PRE_NMS_TOP_N,
+                        cfg.TRAIN.RPN_POST_NMS_TOP_N,
+                        cfg.TRAIN.RPN_NMS_THRESH,
+                        float(cfg.TRAIN.RPN_MIN_SIZE),
+                    )
+                    lv_b[lvl], lv_s[lvl], lv_v[lvl] = bx, sc, va
+                boxes, scores, valid, _ = collect_and_distribute_fpn_proposals(
+                    lv_b, lv_s, lv_v,
+                    cfg.TRAIN.RPN_POST_NMS_TOP_N,
+                    cfg.FPN.ROI_MIN_LEVEL, cfg.FPN.ROI_MAX_LEVEL,
+                )
+                return sample_proposal_labels(
+                    rng_i, boxes, valid,
+                    batch["gt_boxes"][i], batch["gt_classes"][i],
+                    cfg.TRAIN.BATCH_SIZE_PER_IM, cfg.TRAIN.FG_FRACTION,
+                    cfg.TRAIN.FG_THRESH, cfg.TRAIN.BG_THRESH_HI,
+                    cfg.TRAIN.BG_THRESH_LO, cfg.MODEL.NUM_CLASSES,
+                    cfg.MODEL.BBOX_REG_WEIGHTS,
+                )
+
+            rngs = jax.random.split(rng, b)
+            sampled = jax.vmap(one_image)(jnp.arange(b), rngs)
+
+            r = sampled["rois"].shape[1]
+            batch_col = jnp.repeat(jnp.arange(b, dtype=jnp.float32), r)[:, None]
+            flat_rois = jnp.concatenate(
+                [batch_col, sampled["rois"].reshape(-1, 4)], axis=1
+            )
+            from sad_tpu.ops.proposals import map_rois_to_fpn_levels
+
+            lvls = map_rois_to_fpn_levels(
+                flat_rois[:, 1:], cfg.FPN.ROI_MIN_LEVEL, cfg.FPN.ROI_MAX_LEVEL,
+                cfg.FPN.ROI_CANONICAL_SCALE, cfg.FPN.ROI_CANONICAL_LEVEL,
+            )
+            roi_feats = multilevel_roi_align(
+                {
+                    l: feats[l]
+                    for l in range(cfg.FPN.ROI_MIN_LEVEL, cfg.FPN.ROI_MAX_LEVEL + 1)
+                    if l in feats
+                },
+                flat_rois,
+                lvls,
+                sampled["valid"].reshape(-1),
+                cfg.FAST_RCNN.ROI_XFORM_RESOLUTION,
+                cfg.FAST_RCNN.ROI_XFORM_SAMPLING_RATIO,
+            )
+            cls_score, bbox_pred = model.apply(
+                {"params": params}, roi_feats,
+                method=lambda m, f: m.box_head(f),
+            )
+            # ---- mask / keypoint heads on the fg-sampled rois
+            aux_total = jnp.float32(0.0)
+            aux_metrics = {}
+            if cfg.MODEL.MASK_ON and "gt_mask_rasters" in batch:
+                from .mask_keypoint import mask_loss, mask_targets_on_device
+
+                mfeats = multilevel_roi_align(
+                    {
+                        l: feats[l]
+                        for l in range(cfg.FPN.ROI_MIN_LEVEL, cfg.FPN.ROI_MAX_LEVEL + 1)
+                        if l in feats
+                    },
+                    flat_rois, lvls, sampled["is_fg"].reshape(-1),
+                    cfg.MRCNN.ROI_XFORM_RESOLUTION,
+                    cfg.MRCNN.ROI_XFORM_SAMPLING_RATIO,
+                )
+                mlogits = model.apply(
+                    {"params": params}, mfeats,
+                    method=lambda m, f: m.mask_head(f),
+                )
+                def mask_tgt(i):
+                    return mask_targets_on_device(
+                        batch["gt_mask_rasters"][i],
+                        sampled["rois"][i],
+                        sampled["matched_gt"][i],
+                        cfg.MRCNN.RESOLUTION,
+                        batch["gt_mask_stride"],
+                    )
+                mtargets = jax.vmap(mask_tgt)(jnp.arange(b)).reshape(
+                    (-1,) + (cfg.MRCNN.RESOLUTION,) * 2
+                )
+                # logits are at 2x the RoI xform res (deconv); targets match
+                # MRCNN.RESOLUTION by construction
+                ml = mask_loss(
+                    cfg, mlogits, mtargets,
+                    sampled["labels"].reshape(-1),
+                    sampled["is_fg"].reshape(-1), G,
+                )
+                aux_total = aux_total + ml
+                aux_metrics["loss_mask"] = ml
+            if cfg.MODEL.KEYPOINTS_ON and "gt_keypoints" in batch:
+                from .mask_keypoint import keypoint_loss, keypoint_targets_on_device
+
+                kfeats = multilevel_roi_align(
+                    {
+                        l: feats[l]
+                        for l in range(cfg.FPN.ROI_MIN_LEVEL, cfg.FPN.ROI_MAX_LEVEL + 1)
+                        if l in feats
+                    },
+                    flat_rois, lvls, sampled["is_fg"].reshape(-1),
+                    cfg.KRCNN.ROI_XFORM_RESOLUTION,
+                    cfg.KRCNN.ROI_XFORM_SAMPLING_RATIO,
+                )
+                klogits = model.apply(
+                    {"params": params}, kfeats,
+                    method=lambda m, f: m.kps_head(f),
+                )
+                s_hm = klogits.shape[1]
+                def kp_tgt(i):
+                    return keypoint_targets_on_device(
+                        batch["gt_keypoints"][i],
+                        sampled["rois"][i],
+                        sampled["matched_gt"][i],
+                        s_hm,
+                    )
+                hl, hv = jax.vmap(kp_tgt)(jnp.arange(b))
+                kl = keypoint_loss(
+                    cfg, klogits,
+                    hl.reshape(-1, hl.shape[-1]),
+                    hv.reshape(-1, hv.shape[-1]),
+                    sampled["is_fg"].reshape(-1), G,
+                )
+                aux_total = aux_total + kl
+                aux_metrics["loss_kps"] = kl
+
+            box_total, box_metrics = fast_rcnn_losses(
+                cfg,
+                cls_score,
+                sampled["labels"].reshape(-1),
+                bbox_pred,
+                sampled["bbox_targets"].reshape(cls_score.shape[0], -1),
+                sampled["bbox_inside_weights"].reshape(cls_score.shape[0], -1),
+                sampled["bbox_outside_weights"].reshape(cls_score.shape[0], -1),
+                sampled["valid"].reshape(-1),
+                G,
+            )
+            total = total + box_total + aux_total
+            metrics.update(box_metrics)
+            metrics.update(aux_metrics)
+            metrics["loss"] = total
+            return total, metrics
+
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params)
+        t_mask = trainable_mask(state.params, cfg.TRAIN.FREEZE_AT)
+        b_mask = bias_mask(state.params)
+        new_params, new_mom = momentum_sgd_update(
+            state.params, grads, MomentumSGDState(state.velocity), lr,
+            momentum=solver.MOMENTUM, weight_decay=solver.WEIGHT_DECAY,
+            trainable=t_mask, is_bias=b_mask,
+        )
+        return TrainState(new_params, new_mom.velocity), metrics
+
+    return step

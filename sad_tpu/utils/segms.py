@@ -1,0 +1,88 @@
+"""Segmentation mask utilities (ref: detectron/lib/utils/segms.py).
+
+PIL-based polygon rasterization (no pycocotools); covers the mask-training
+target path (roi_data/mask_rcnn.py polys_to_mask_wrt_box) and simple RLE-free
+mask manipulation.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import numpy as np
+from PIL import Image, ImageDraw
+
+
+def polys_to_mask(polygons: Sequence[Sequence[float]], height: int, width: int) -> np.ndarray:
+    """Rasterize COCO polygon(s) -> binary (height, width) mask."""
+    img = Image.new("L", (width, height), 0)
+    draw = ImageDraw.Draw(img)
+    for poly in polygons:
+        pts = [(poly[i], poly[i + 1]) for i in range(0, len(poly) - 1, 2)]
+        if len(pts) >= 3:
+            draw.polygon(pts, outline=1, fill=1)
+    return np.asarray(img, dtype=np.uint8)
+
+
+def polys_to_mask_wrt_box(
+    polygons: Sequence[Sequence[float]], box: np.ndarray, resolution: int
+) -> np.ndarray:
+    """Rasterize polygons in the frame of `box` at resolution^2
+    (ref: segms.py polys_to_mask_wrt_box — the mask-target transform)."""
+    w = max(box[2] - box[0], 1.0)
+    h = max(box[3] - box[1], 1.0)
+    scaled = []
+    for poly in polygons:
+        p = np.asarray(poly, np.float64).copy()
+        p[0::2] = (p[0::2] - box[0]) * resolution / w
+        p[1::2] = (p[1::2] - box[1]) * resolution / h
+        scaled.append(p.tolist())
+    return polys_to_mask(scaled, resolution, resolution)
+
+
+def flip_polys(polygons: Sequence[Sequence[float]], width: int) -> List[List[float]]:
+    """Horizontal flip of polygon coordinates (ref: segms.py flip_segms)."""
+    out = []
+    for poly in polygons:
+        p = np.asarray(poly, np.float64).copy()
+        p[0::2] = width - p[0::2] - 1
+        out.append(p.tolist())
+    return out
+
+
+def mask_to_bbox(mask: np.ndarray) -> np.ndarray:
+    ys, xs = np.where(mask > 0)
+    if len(xs) == 0:
+        return np.zeros(4, np.float32)
+    return np.asarray([xs.min(), ys.min(), xs.max(), ys.max()], np.float32)
+
+
+def paste_mask_into_image(
+    mask_prob: np.ndarray,  # (res, res) float
+    box: np.ndarray,  # (4,) xyxy in image coords
+    im_h: int,
+    im_w: int,
+    thresh: float = 0.5,
+) -> np.ndarray:
+    """Resize a roi-frame mask back into image frame and binarize
+    (ref: test.py segm_results / utils/segms paste machinery)."""
+    res = mask_prob.shape[0]
+    # the reference pads by 1 px scale margin (test.py expand_boxes); keep
+    # the simple direct paste
+    x1, y1 = int(np.floor(box[0])), int(np.floor(box[1]))
+    x2, y2 = int(np.ceil(box[2])), int(np.ceil(box[3]))
+    w = max(x2 - x1 + 1, 1)
+    h = max(y2 - y1 + 1, 1)
+    resized = np.asarray(
+        Image.fromarray((mask_prob * 255).astype(np.uint8)).resize(
+            (w, h), Image.BILINEAR
+        ),
+        np.float32,
+    ) / 255.0
+    out = np.zeros((im_h, im_w), np.uint8)
+    ox1, oy1 = max(x1, 0), max(y1, 0)
+    ox2, oy2 = min(x2 + 1, im_w), min(y2 + 1, im_h)
+    out[oy1:oy2, ox1:ox2] = (
+        resized[oy1 - y1 : oy2 - y1, ox1 - x1 : ox2 - x1] >= thresh
+    ).astype(np.uint8)
+    return out

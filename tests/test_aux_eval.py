@@ -1,0 +1,230 @@
+"""Aux evaluation surface: box voting, soft-NMS postprocess, TTA merge, VOC
+evaluator, EXPECTED_RESULTS gate, segms utilities."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from sad_tpu.config import Config
+from sad_tpu.config.config import merge_cfg_from_dict
+from sad_tpu.eval.task_evaluation import ExpectedResultsError, check_expected_results
+from sad_tpu.eval.test_augmentation import (
+    bbox_aug_transforms,
+    box_voting,
+    merge_aug_detections,
+    postprocess_detections,
+)
+from sad_tpu.eval.voc_eval import voc_ap, voc_eval_boxes
+from sad_tpu.utils import segms
+
+
+class TestBoxVoting:
+    def test_id_voting_moves_box_to_weighted_average(self):
+        top = np.asarray([[10, 10, 20, 20, 0.9]], np.float32)
+        alls = np.asarray(
+            [[10, 10, 20, 20, 0.9], [12, 12, 22, 22, 0.1]], np.float32
+        )
+        out = box_voting(top, alls, thresh=0.5, scoring_method="ID")
+        expected = np.average(alls[:, :4], axis=0, weights=alls[:, 4])
+        np.testing.assert_allclose(out[0, :4], expected, rtol=1e-5)
+        assert out[0, 4] == pytest.approx(0.9)  # ID keeps the score
+
+    def test_avg_scoring(self):
+        top = np.asarray([[0, 0, 10, 10, 0.8]], np.float32)
+        alls = np.asarray([[0, 0, 10, 10, 0.8], [1, 1, 11, 11, 0.4]], np.float32)
+        out = box_voting(top, alls, 0.5, scoring_method="AVG")
+        assert out[0, 4] == pytest.approx(0.6)
+
+
+class TestPostprocess:
+    def _cfg(self, soft=False, vote=False):
+        d = {"MODEL": {"NUM_CLASSES": 3}, "TEST": {"NMS": 0.5}}
+        cfg = merge_cfg_from_dict(Config(), d)
+        if soft:
+            cfg = dataclasses.replace(
+                cfg, TEST=dataclasses.replace(
+                    cfg.TEST, SOFT_NMS=dataclasses.replace(
+                        cfg.TEST.SOFT_NMS, ENABLED=True
+                    )
+                )
+            )
+        if vote:
+            cfg = dataclasses.replace(
+                cfg, TEST=dataclasses.replace(
+                    cfg.TEST, BBOX_VOTE=dataclasses.replace(
+                        cfg.TEST.BBOX_VOTE, ENABLED=True
+                    )
+                )
+            )
+        return cfg
+
+    def test_hard_nms_path(self):
+        cfg = self._cfg()
+        boxes = np.asarray(
+            [[0, 0, 10, 10], [1, 1, 11, 11], [50, 50, 60, 60]], np.float32
+        )
+        scores = np.asarray([0.9, 0.8, 0.7], np.float32)
+        classes = np.asarray([1, 1, 2], np.int32)
+        valid = np.ones(3, bool)
+        b, s, c = postprocess_detections(cfg, boxes, scores, classes, valid, 3)
+        assert len(s) == 2  # overlap suppressed within class 1
+        assert set(c.tolist()) == {1, 2}
+
+    def test_soft_nms_keeps_but_downweights(self):
+        cfg = self._cfg(soft=True)
+        boxes = np.asarray([[0, 0, 10, 10], [1, 1, 11, 11]], np.float32)
+        scores = np.asarray([0.9, 0.8], np.float32)
+        classes = np.asarray([1, 1], np.int32)
+        b, s, c = postprocess_detections(
+            cfg, boxes, scores, classes, np.ones(2, bool), 3
+        )
+        assert len(s) == 2
+        assert s.min() < 0.8  # rescored down, not removed
+
+
+class TestTTA:
+    def test_transform_enumeration(self):
+        cfg = merge_cfg_from_dict(
+            Config(),
+            {
+                "TEST": {
+                    "SCALES": (600,),
+                    "MAX_SIZE": 1000,
+                    "BBOX_AUG": {
+                        "ENABLED": True,
+                        "H_FLIP": True,
+                        "SCALES": (400, 800),
+                        "SCALE_H_FLIP": True,
+                        "ASPECT_RATIOS": (0.75,),
+                        "ASPECT_RATIO_H_FLIP": False,
+                    },
+                }
+            },
+        )
+        t = bbox_aug_transforms(cfg)
+        # base + flip + 2 scales * 2 (flip) + 1 aspect = 7
+        assert len(t) == 7
+        assert sum(tt["hflip"] for tt in t) == 3
+
+    def test_merge_unflips(self):
+        per_aug = [
+            {
+                "boxes": np.asarray([[10, 5, 20, 15]], np.float32),
+                "scores": np.asarray([0.9], np.float32),
+                "classes": np.asarray([1], np.int32),
+                "valid": np.asarray([True]),
+            },
+            {
+                "boxes": np.asarray([[10, 5, 20, 15]], np.float32),
+                "scores": np.asarray([0.8], np.float32),
+                "classes": np.asarray([1], np.int32),
+                "valid": np.asarray([True]),
+            },
+        ]
+        merged = merge_aug_detections(per_aug, im_w=100, flipped_flags=[False, True])
+        assert merged["boxes"].shape == (2, 4)
+        np.testing.assert_allclose(merged["boxes"][0], [10, 5, 20, 15])
+        np.testing.assert_allclose(merged["boxes"][1], [79, 5, 89, 15])
+
+
+class TestVOCEval:
+    def test_perfect_ap(self):
+        gt = {
+            "categories": [{"id": 1, "name": "a"}],
+            "annotations": [
+                {"image_id": 1, "category_id": 1, "bbox": [10, 10, 20, 20]},
+                {"image_id": 2, "category_id": 1, "bbox": [5, 5, 30, 30]},
+            ],
+        }
+        dets = [
+            {"image_id": 1, "category_id": 1, "bbox": [10, 10, 20, 20], "score": 0.9},
+            {"image_id": 2, "category_id": 1, "bbox": [5, 5, 30, 30], "score": 0.8},
+        ]
+        res = voc_eval_boxes(gt, dets)
+        assert res["mAP"] == pytest.approx(1.0)
+        res07 = voc_eval_boxes(gt, dets, use_07_metric=True)
+        assert res07["mAP"] == pytest.approx(1.0)
+
+    def test_duplicate_detection_is_fp(self):
+        gt = {
+            "categories": [{"id": 1, "name": "a"}],
+            "annotations": [
+                {"image_id": 1, "category_id": 1, "bbox": [10, 10, 20, 20]}
+            ],
+        }
+        # the duplicate outranks the best match: the second det of the same
+        # gt counts as FP, halving precision at full recall
+        dets = [
+            {"image_id": 1, "category_id": 1, "bbox": [11, 11, 20, 20], "score": 0.9},
+            {"image_id": 1, "category_id": 1, "bbox": [10, 10, 20, 20], "score": 0.8},
+        ]
+        res = voc_eval_boxes(gt, dets)
+        assert res["mAP"] == pytest.approx(1.0)  # first det still matches
+        # now a true duplicate: both dets match the same gt
+        res2 = voc_eval_boxes(
+            gt,
+            [
+                {"image_id": 1, "category_id": 1, "bbox": [10, 10, 20, 20], "score": 0.9},
+                {"image_id": 1, "category_id": 1, "bbox": [10, 10, 20, 20], "score": 0.95},
+            ],
+        )
+        assert res2["mAP"] == pytest.approx(1.0)  # dup is FP but after recall=1
+        # FP before the TP in score order drops AP below 1
+        gt2 = {
+            "categories": [{"id": 1, "name": "a"}],
+            "annotations": [
+                {"image_id": 1, "category_id": 1, "bbox": [10, 10, 20, 20]},
+                {"image_id": 2, "category_id": 1, "bbox": [10, 10, 20, 20]},
+            ],
+        }
+        res3 = voc_eval_boxes(
+            gt2,
+            [
+                {"image_id": 1, "category_id": 1, "bbox": [60, 60, 5, 5], "score": 0.99},
+                {"image_id": 1, "category_id": 1, "bbox": [10, 10, 20, 20], "score": 0.9},
+                {"image_id": 2, "category_id": 1, "bbox": [10, 10, 20, 20], "score": 0.8},
+            ],
+        )
+        assert res3["mAP"] < 1.0
+
+
+class TestExpectedResults:
+    def test_pass_and_fail(self):
+        cfg = merge_cfg_from_dict(
+            Config(),
+            {"EXPECTED_RESULTS": [["coco_2017_val", "box", "AP", 0.365]]},
+        )
+        ok = {"coco_2017_val": {"box": {"AP": 0.3655}}}
+        assert check_expected_results(cfg, ok) == []
+        bad = {"coco_2017_val": {"box": {"AP": 0.20}}}
+        with pytest.raises(ExpectedResultsError):
+            check_expected_results(cfg, bad)
+        fails = check_expected_results(cfg, bad, raise_on_failure=False)
+        assert len(fails) == 1
+
+
+class TestSegms:
+    def test_polygon_rasterization(self):
+        mask = segms.polys_to_mask([[2, 2, 8, 2, 8, 8, 2, 8]], 10, 10)
+        assert mask[5, 5] == 1 and mask[0, 0] == 0
+        assert 30 <= mask.sum() <= 55
+
+    def test_mask_wrt_box(self):
+        m = segms.polys_to_mask_wrt_box(
+            [[0, 0, 20, 0, 20, 20, 0, 20]], np.asarray([0, 0, 20, 20]), 14
+        )
+        assert m.shape == (14, 14)
+        assert m.sum() > 150  # nearly full
+
+    def test_paste_mask(self):
+        prob = np.ones((4, 4), np.float32)
+        out = segms.paste_mask_into_image(
+            prob, np.asarray([2, 3, 7, 9], np.float32), 20, 20
+        )
+        assert out.shape == (20, 20)
+        assert out[5, 5] == 1 and out[0, 0] == 0
+
+    def test_flip_polys(self):
+        flipped = segms.flip_polys([[0, 0, 10, 5]], width=100)
+        np.testing.assert_allclose(flipped[0], [99, 0, 89, 5])

@@ -42,6 +42,7 @@ def tiny_arch(**kw) -> ModelArch:
         zero_init_lateral=False,
         min_level=3,
         max_level=7,
+        extra_conv_levels=True,
         num_classes=5,
         aspect_ratios=(1.0, 2.0),
         scales_per_octave=1,
