@@ -384,6 +384,15 @@ class Config:
     # compute dtype for backbone/head matmuls ('bfloat16' or 'float32');
     # losses always accumulate in float32.
     COMPUTE_DTYPE: str = "bfloat16"
+    # Rematerialize backbone activations in backward (jax.checkpoint) —
+    # the TPU analogue of the reference's memonger gradient-blob sharing
+    # (train_net.py:247-258, python/memonger.py): trade FLOPs for HBM.
+    REMAT_BACKBONE: bool = False
+    # When set, the train loop captures a jax.profiler trace of a few steps
+    # into this directory — the prof_dag/htrace analogue (SURVEY.md §5.1).
+    PROFILE_DIR: str = ""
+    PROFILE_START_ITER: int = 10
+    PROFILE_NUM_ITERS: int = 5
     # Use the fused Pallas loss kernel instead of the jnp ops. Default off:
     # measured on v5e, XLA's multi-output fusion of the jnp losses is faster
     # (100 vs 86 imgs/s on the joint step) — the kernel is kept as an

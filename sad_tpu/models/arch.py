@@ -52,6 +52,7 @@ class ModelArch:
     softmax: bool
 
     compute_dtype: str = "bfloat16"
+    remat: bool = False
 
     @property
     def num_anchors(self) -> int:
@@ -113,4 +114,5 @@ def arch_from_config(cfg: Config) -> ModelArch:
         class_specific_bbox=cfg.RETINANET.CLASS_SPECIFIC_BBOX,
         softmax=cfg.RETINANET.SOFTMAX,
         compute_dtype=cfg.COMPUTE_DTYPE,
+        remat=cfg.REMAT_BACKBONE,
     )

@@ -34,13 +34,18 @@ def create_model(cfg: Config) -> RetinaNet:
     if mtype in ("retinanet", "distillation"):
         return RetinaNet(arch_from_config(cfg))
     if mtype in ("generalized_rcnn", "rpn"):
-        from .rcnn import GeneralizedRCNN
+        if cfg.FPN.FPN_ON:
+            from .rcnn import GeneralizedRCNN
 
-        return GeneralizedRCNN(cfg)
-    raise NotImplementedError(
-        f"MODEL.TYPE={mtype!r} not implemented yet in sad_tpu "
-        "(reference surface remaining: rfcn)"
-    )
+            return GeneralizedRCNN(cfg)
+        from .single_scale import SingleScaleRCNN
+
+        return SingleScaleRCNN(cfg)
+    if mtype == "rfcn":
+        from .single_scale import SingleScaleRCNN
+
+        return SingleScaleRCNN(cfg)
+    raise NotImplementedError(f"MODEL.TYPE={mtype!r} not implemented in sad_tpu")
 
 
 def init_model_params(model, rng: jax.Array, image_shape) -> Any:

@@ -130,6 +130,7 @@ class ResNetBody(nn.Module):
             dilation = a.res5_dilation if stage_idx == 5 else 1
             inner = dim_bottleneck * (2 ** (stage_idx - 2))
             s = p
+            block_cls = nn.remat(Bottleneck) if a.remat else Bottleneck
             for i in range(n_blocks):
                 # stride 2 on the first block of res3..res5; res2 follows the
                 # stride-2 max pool. The reference detects the stem with a
@@ -137,7 +138,7 @@ class ResNetBody(nn.Module):
                 # for small CHANNEL_RATIOs; use the stage index instead
                 # (identical behavior at all real widths).
                 stride = 2 if (i == 0 and stage_idx > 2 and dilation == 1) else 1
-                s = Bottleneck(
+                s = block_cls(
                     prefix=f"res{stage_idx}_{i}",
                     dim_in=dim_in,
                     dim_out=dim_out,

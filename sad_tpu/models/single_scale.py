@@ -1,0 +1,200 @@
+"""Single-scale (non-FPN) R-CNN family: VGG/C4 Faster R-CNN and R-FCN.
+
+Capability-equivalent to the reference's non-FPN paths:
+- add_single_scale_rpn_outputs (rpn_heads.py:55-123): one RPN head on the
+  stride-16 feature with RPN.SIZES x RPN.ASPECT_RATIOS anchors,
+- VGG16 fc6/fc7 RoI head (VGG16.py add_VGG16_roi_fc_head) and the generic
+  box outputs,
+- R-FCN (rfcn_heads.py): conv_new_1 + position-sensitive score/bbox maps,
+  PSRoIPool, and average-vote over bins — built on
+  sad_tpu.ops.detectron_ops.ps_roi_pool.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sad_tpu.config import Config
+
+from .resnet import _conv
+from .vgg import VGG16Body, VGGCNNM1024Body
+
+
+class SingleScaleRPNHead(nn.Module):
+    """RPN on one feature map (rpn_heads.py:55-123)."""
+
+    dim: int
+    num_anchors: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat: jnp.ndarray):
+        gauss = nn.initializers.normal(stddev=0.01)
+        h = nn.relu(
+            _conv("conv_rpn", self.dim, 3, 1, use_bias=True,
+                  dtype=self.dtype, kernel_init=gauss)(feat)
+        )
+        logits = _conv(
+            "rpn_cls_logits", self.num_anchors, 1, 1, use_bias=True,
+            dtype=self.dtype, kernel_init=gauss,
+        )(h).astype(jnp.float32)
+        deltas = _conv(
+            "rpn_bbox_pred", 4 * self.num_anchors, 1, 1, use_bias=True,
+            dtype=self.dtype, kernel_init=gauss,
+        )(h).astype(jnp.float32)
+        return logits, deltas
+
+
+class RFCNHead(nn.Module):
+    """Position-sensitive score maps + PSRoIPool voting (rfcn_heads.py)."""
+
+    num_classes: int
+    ps_grid: int = 7
+    dim_reduce: int = 1024
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat: jnp.ndarray, rois5: jnp.ndarray):
+        from sad_tpu.ops.detectron_ops import ps_roi_pool
+
+        gauss = nn.initializers.normal(stddev=0.01)
+        x = nn.relu(
+            _conv("conv_new_1", self.dim_reduce, 1, 1, use_bias=True,
+                  dtype=self.dtype, kernel_init=gauss)(feat)
+        )
+        k2 = self.ps_grid * self.ps_grid
+        cls_maps = _conv(
+            "rfcn_cls", k2 * self.num_classes, 1, 1, use_bias=True,
+            dtype=self.dtype, kernel_init=gauss,
+        )(x).astype(jnp.float32)
+        bbox_maps = _conv(
+            "rfcn_bbox", k2 * 8, 1, 1, use_bias=True,
+            dtype=self.dtype, kernel_init=gauss,
+        )(x).astype(jnp.float32)
+        # PSRoIPool + vote (average over the ps grid)
+        cls_pooled = ps_roi_pool(
+            cls_maps, rois5, 1.0 / 16.0, self.ps_grid, self.num_classes
+        )
+        bbox_pooled = ps_roi_pool(
+            bbox_maps, rois5, 1.0 / 16.0, self.ps_grid, 8
+        )
+        cls_score = cls_pooled.mean(axis=(1, 2))  # (R, C)
+        bbox_pred = bbox_pooled.mean(axis=(1, 2))  # (R, 8) cls-agnostic
+        return cls_score, bbox_pred
+
+
+class SingleScaleRCNN(nn.Module):
+    """Non-FPN Faster R-CNN / R-FCN at stride 16.
+
+    MODEL.CONV_BODY selects the trunk ('VGG16...', 'VGG_CNN_M_1024...',
+    else ResNet C4 via the FPN-free ResNetBody up to res4). MODEL.TYPE
+    'rfcn' uses the position-sensitive head; otherwise an fc6/fc7 box head.
+    """
+
+    cfg_static: Any
+
+    def setup(self):
+        cfg = self.cfg_static
+        body = cfg.MODEL.CONV_BODY
+        dtype = jnp.dtype(cfg.COMPUTE_DTYPE)
+        if "VGG_CNN_M_1024" in body:
+            self.body = VGGCNNM1024Body(dtype=dtype, name="body")
+        elif "VGG16" in body:
+            self.body = VGG16Body(dtype=dtype, name="body")
+        else:
+            from .arch import arch_from_config
+            from .resnet import ResNetBody
+
+            self.body = ResNetBody(arch_from_config(cfg), name="body")
+        self._num_anchors = len(cfg.RPN.SIZES) * len(cfg.RPN.ASPECT_RATIOS)
+        self.rpn = SingleScaleRPNHead(512, self._num_anchors, dtype, name="rpn")
+        if cfg.MODEL.TYPE == "rfcn":
+            # ps grid 7x7 (ref default RFCN.PS_GRID_SIZE)
+            self.rfcn = RFCNHead(
+                cfg.MODEL.NUM_CLASSES, 7, dtype=dtype, name="rfcn",
+            )
+        else:
+            self.fc6 = nn.Dense(4096, dtype=dtype, param_dtype=jnp.float32,
+                                name="fc6")
+            self.fc7 = nn.Dense(4096, dtype=dtype, param_dtype=jnp.float32,
+                                name="fc7")
+            self.cls_score = nn.Dense(
+                cfg.MODEL.NUM_CLASSES, dtype=dtype, param_dtype=jnp.float32,
+                kernel_init=nn.initializers.normal(0.01), name="cls_score",
+            )
+            self.bbox_pred = nn.Dense(
+                4 * cfg.MODEL.NUM_CLASSES, dtype=dtype, param_dtype=jnp.float32,
+                kernel_init=nn.initializers.normal(0.001), name="bbox_pred",
+            )
+
+    def _trunk(self, images):
+        out = self.body(images)
+        if isinstance(out, dict):  # ResNet C4: use res4 (stride 16)
+            key = [k for k in out if k.startswith("res4")][0]
+            return out[key]
+        return out
+
+    def __call__(self, images: jnp.ndarray, im_hw: jnp.ndarray):
+        from sad_tpu.data.anchors import field_of_anchors, generate_cell_anchors
+        from sad_tpu.ops.detectron_ops import roi_align
+        from sad_tpu.ops.proposals import generate_proposals
+
+        cfg = self.cfg_static
+        feat = self._trunk(images)
+        logits, deltas = self.rpn(feat)
+        b, h, w = feat.shape[:3]
+        stride = float(cfg.RPN.STRIDE)
+        cell = np.concatenate(
+            [
+                generate_cell_anchors(stride, (s,), (ar,))
+                for s in cfg.RPN.SIZES
+                for ar in cfg.RPN.ASPECT_RATIOS
+            ]
+        )
+        anchors = jnp.asarray(field_of_anchors(cell, stride, h, w), jnp.float32)
+        na = self._num_anchors
+
+        def one_image(i):
+            scores = jax.nn.sigmoid(logits[i])
+            d = deltas[i].reshape(h, w, na, 4)
+            return generate_proposals(
+                scores, d, anchors, im_hw[i],
+                cfg.TEST.RPN_PRE_NMS_TOP_N, cfg.TEST.RPN_POST_NMS_TOP_N,
+                cfg.TEST.RPN_NMS_THRESH, float(cfg.TEST.RPN_MIN_SIZE),
+            )
+
+        boxes, scores, valid = jax.vmap(one_image)(jnp.arange(b))
+        r = boxes.shape[1]
+        batch_col = jnp.repeat(jnp.arange(b, dtype=jnp.float32), r)[:, None]
+        rois5 = jnp.concatenate([batch_col, boxes.reshape(-1, 4)], axis=1)
+
+        if cfg.MODEL.TYPE == "rfcn":
+            cls_score, bbox_pred = self.rfcn(feat, rois5)
+        else:
+            pooled = roi_align(
+                feat, rois5, 1.0 / stride,
+                cfg.FAST_RCNN.ROI_XFORM_RESOLUTION,
+                cfg.FAST_RCNN.ROI_XFORM_SAMPLING_RATIO,
+            )
+            x = pooled.reshape(pooled.shape[0], -1)
+            x = nn.relu(self.fc6(x))
+            x = nn.relu(self.fc7(x))
+            cls_score = self.cls_score(x).astype(jnp.float32)
+            bbox_pred = self.bbox_pred(x).astype(jnp.float32)
+
+        c = cls_score.shape[-1]
+        return {
+            "rois": boxes,
+            "roi_scores": scores,
+            "roi_valid": valid,
+            "cls_score": cls_score.reshape(b, r, c),
+            "cls_prob": jax.nn.softmax(
+                cls_score.reshape(b, r, c).astype(jnp.float32), axis=-1
+            ),
+            "bbox_pred": bbox_pred.reshape(b, r, -1),
+        }

@@ -126,8 +126,13 @@ def train_model(
     snapshot_period = max(1, cfg.TRAIN.SNAPSHOT_ITERS // max(cfg.NUM_GPUS, 1))
     cur_lr = get_lr_at_iter(cfg.SOLVER, start_iter)
 
+    profiling = False
     try:
         for it in range(start_iter, max_iters):
+            if cfg.PROFILE_DIR and it == cfg.PROFILE_START_ITER:
+                jax.profiler.start_trace(cfg.PROFILE_DIR)
+                profiling = True
+                logger.info("profiler trace started -> %s", cfg.PROFILE_DIR)
             stats.iter_tic()
             new_lr = get_lr_at_iter(cfg.SOLVER, it)
             if new_lr != cur_lr:
@@ -153,8 +158,14 @@ def train_model(
             stats.update_iter_stats(
                 it, {k: float(v) for k, v in metrics.items()}
             )
+            if profiling and it == cfg.PROFILE_START_ITER + cfg.PROFILE_NUM_ITERS:
+                jax.block_until_ready(metrics["loss"])
+                jax.profiler.stop_trace()
+                profiling = False
+                logger.info("profiler trace stopped")
             stats.log_iter_stats(
-                it, cur_lr, extra={"queue": loader.queue_depth()}
+                it, cur_lr, extra={"queue": loader.queue_depth(),
+                                   **device_memory_stats()}
             )
 
             if not np.isfinite(loss):
@@ -179,6 +190,17 @@ def train_model(
         if own_loader:
             loader.shutdown()
     return state
+
+
+def device_memory_stats() -> Dict[str, float]:
+    """Peak device memory in MB (the reference's caffe2_gpu_memory_tracking
+    analogue, train_net.py:106-108)."""
+    try:
+        st = jax.devices()[0].memory_stats() or {}
+        peak = st.get("peak_bytes_in_use", 0)
+        return {"mem_peak_mb": round(peak / 1e6, 1)} if peak else {}
+    except Exception:
+        return {}
 
 
 def load_reference_or_native(path: str, params_template):

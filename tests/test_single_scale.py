@@ -1,0 +1,71 @@
+"""VGG/C4/R-FCN single-scale model family tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sad_tpu.config import Config
+from sad_tpu.config.config import merge_cfg_from_dict
+
+
+def ss_cfg(model_type="generalized_rcnn", body="VGG_CNN_M_1024.add_..."):
+    return merge_cfg_from_dict(
+        Config(),
+        {
+            "MODEL": {"TYPE": model_type, "CONV_BODY": body, "NUM_CLASSES": 4,
+                      "FASTER_RCNN": True},
+            "RPN": {"RPN_ON": True, "SIZES": (32, 64), "STRIDE": 16,
+                    "ASPECT_RATIOS": (0.5, 1.0, 2.0)},
+            "FAST_RCNN": {"ROI_XFORM_RESOLUTION": 3},
+            "TEST": {"RPN_PRE_NMS_TOP_N": 30, "RPN_POST_NMS_TOP_N": 8},
+            "COMPUTE_DTYPE": "float32",
+        },
+    )
+
+
+class TestVGGFasterRCNN:
+    def test_vgg_m_forward(self):
+        cfg = ss_cfg(body="VGG_CNN_M_1024.add_VGG_CNN_M_1024_conv5_body")
+        from sad_tpu.models import create_model
+        from sad_tpu.models.single_scale import SingleScaleRCNN
+
+        model = create_model(cfg)
+        assert isinstance(model, SingleScaleRCNN)
+        images = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        im_hw = jnp.asarray([[64, 64]], jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), images, im_hw)["params"]
+        out = model.apply({"params": params}, images, im_hw)
+        assert out["rois"].shape == (1, 8, 4)
+        assert out["cls_prob"].shape == (1, 8, 4)
+        assert out["bbox_pred"].shape == (1, 8, 16)
+        np.testing.assert_allclose(
+            np.asarray(out["cls_prob"]).sum(-1), 1.0, rtol=1e-4
+        )
+
+
+class TestRFCN:
+    def test_rfcn_forward(self):
+        cfg = ss_cfg(model_type="rfcn",
+                     body="VGG_CNN_M_1024.add_VGG_CNN_M_1024_conv5_body")
+        from sad_tpu.models import create_model
+
+        model = create_model(cfg)
+        images = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        im_hw = jnp.asarray([[64, 64]], jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), images, im_hw)["params"]
+        out = model.apply({"params": params}, images, im_hw)
+        assert out["cls_prob"].shape == (1, 8, 4)
+        assert out["bbox_pred"].shape == (1, 8, 8)  # cls-agnostic 2x4
+
+
+class TestVGG16:
+    def test_vgg16_feature_stride(self):
+        from sad_tpu.models.vgg import VGG16Body
+
+        body = VGG16Body()
+        x = jnp.zeros((1, 64, 64, 3))
+        params = body.init(jax.random.PRNGKey(0), x)["params"]
+        f = body.apply({"params": params}, x)
+        assert f.shape == (1, 4, 4, 512)  # stride 16
+        assert "conv5_3" in params and "conv1_1" in params
