@@ -88,9 +88,13 @@ class TrainingLoader:
         num_threads: int = 2,
         queue_capacity: int = 4,
         seed: int = 3,
+        builder=None,
     ):
         self.cfg = cfg
-        self.builder = RetinaNetMinibatchBuilder(cfg, teacher_cfg)
+        # builder: any object with canvas_for(entry) + build(entries) —
+        # RetinaNetMinibatchBuilder by default; RCNNMinibatchBuilder for the
+        # Faster/Mask R-CNN path (data/rpn_minibatch.py)
+        self.builder = builder or RetinaNetMinibatchBuilder(cfg, teacher_cfg)
         self.batch_images = batch_images or (cfg.TRAIN.IMS_PER_BATCH * cfg.NUM_GPUS)
         self.labeled = _Stream(roidb, self.batch_images, seed)
         self.unlabeled = (
@@ -132,7 +136,8 @@ class TrainingLoader:
                     name = min(sizes, key=sizes.get)
                 stream = self.labeled if name == "labeled" else self.unlabeled
                 entries = stream.next_batch()
-                batch = self.builder.build(entries).as_pytree()
+                built = self.builder.build(entries)
+                batch = built.as_pytree() if hasattr(built, "as_pytree") else built
                 while not self._stop.is_set():
                     try:
                         self._queues[name].put(batch, timeout=0.5)

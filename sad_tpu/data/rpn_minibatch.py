@@ -132,6 +132,97 @@ def assign_rpn_labels(
     return tuple(zip(*out))
 
 
+class RCNNMinibatchBuilder:
+    """Static-shape training batches for the Faster/Mask R-CNN path
+    (images + RPN targets + padded gt; optional gt mask rasters). The RoI
+    sampling itself happens on device (sad_tpu.train.rcnn_train)."""
+
+    def __init__(self, cfg: Config, mask_on: bool = None, mask_stride: int = 4,
+                 max_gt: int = 50):
+        from .minibatch import canvas_shapes
+
+        self.cfg = cfg
+        self.landscape, self.portrait = canvas_shapes(cfg)
+        self.mask_on = cfg.MODEL.MASK_ON if mask_on is None else mask_on
+        self.kps_on = cfg.MODEL.KEYPOINTS_ON
+        self.mask_stride = mask_stride
+        self.max_gt = max_gt
+        self._grids = {}
+
+    def canvas_for(self, entry: dict) -> Tuple[int, int]:
+        return self.landscape if entry["width"] >= entry["height"] else self.portrait
+
+    def build(self, entries: List[dict], seed: int = 0) -> Dict:
+        from .minibatch import compute_im_scale, load_image_bgr, prep_image
+
+        cfg = self.cfg
+        canvas = self.canvas_for(entries[0])
+        ch, cw = canvas
+        n = len(entries)
+        batch: Dict = {
+            "data": np.zeros((n, ch, cw, 3), np.float32),
+            "im_hw": np.zeros((n, 2), np.float32),
+        }
+        scales = np.zeros((n,), np.float32)
+        for i, e in enumerate(entries):
+            im_bgr = load_image_bgr(e["image"], e.get("flipped", False))
+            scale = compute_im_scale(
+                e["height"], e["width"], cfg.TRAIN.SCALES[0], cfg.TRAIN.MAX_SIZE
+            )
+            im = prep_image(
+                im_bgr, scale, cfg.PIXEL_MEANS, cfg.PIXEL_DIV, cfg.PIXEL_STD
+            )
+            h, w = im.shape[:2]
+            batch["data"][i, :h, :w] = im
+            batch["im_hw"][i] = (h, w)  # scaled content extent (for clipping)
+            scales[i] = scale
+        add_rpn_blobs_to_batch(cfg, batch, entries, canvas, scales, seed=seed)
+        # repad gt arrays to a fixed max (stable shapes across batches)
+        g = batch["gt_boxes"].shape[1]
+        if g < self.max_gt:
+            pad = self.max_gt - g
+            batch["gt_boxes"] = np.pad(batch["gt_boxes"], ((0, 0), (0, pad), (0, 0)))
+            batch["gt_classes"] = np.pad(batch["gt_classes"], ((0, 0), (0, pad)))
+        else:
+            batch["gt_boxes"] = batch["gt_boxes"][:, : self.max_gt]
+            batch["gt_classes"] = batch["gt_classes"][:, : self.max_gt]
+
+        if self.mask_on:
+            from sad_tpu.utils.segms import polys_to_mask
+
+            s = self.mask_stride
+            hm, wm = ch // s, cw // s
+            rasters = np.zeros((n, self.max_gt, hm, wm), np.float32)
+            for i, e in enumerate(entries):
+                keep = np.where((e["gt_classes"] > 0) & (~e["is_crowd"]))[0]
+                for j, gi in enumerate(keep[: self.max_gt]):
+                    polys = (e.get("segms") or [[]] * (gi + 1))[gi]
+                    if not polys:
+                        continue
+                    scaled = [
+                        (np.asarray(p, np.float64) * scales[i] / s).tolist()
+                        for p in polys
+                    ]
+                    rasters[i, j] = polys_to_mask(scaled, hm, wm)
+            batch["gt_mask_rasters"] = rasters
+            batch["gt_mask_stride"] = float(s)
+        if self.kps_on:
+            nk = self.cfg.KRCNN.NUM_KEYPOINTS
+            kps = np.zeros((n, self.max_gt, nk, 3), np.float32)
+            for i, e in enumerate(entries):
+                gk = e.get("gt_keypoints")
+                if gk is None or not len(gk):
+                    continue
+                keep = np.where((e["gt_classes"] > 0) & (~e["is_crowd"]))[0]
+                for j, gi in enumerate(keep[: self.max_gt]):
+                    if gi < len(gk):
+                        k = gk[gi][:nk].copy()
+                        k[:, :2] *= scales[i]
+                        kps[i, j, : len(k)] = k
+            batch["gt_keypoints"] = kps
+        return batch
+
+
 def add_rpn_blobs_to_batch(
     cfg: Config,
     batch: Dict,

@@ -88,7 +88,17 @@ class Bottleneck(nn.Module):
         cur = AffineChannel(self.dim_inner, name=p + "_branch2b_bn")(cur)
         cur = nn.relu(cur)
 
-        cur = _conv(p + "_branch2c", self.dim_out, 1, 1, dtype=self.dtype)(cur)
+        # branch2c conv init is down-scaled so a FROM-SCRATCH network starts
+        # near-identity instead of exploding through 50 unnormalized layers
+        # (AffineChannel is frozen, so the usual zero-gamma trick would kill
+        # the branch permanently; a small *conv* init trains normally).
+        # Pretrained loads overwrite this, so reference parity is unaffected.
+        cur = _conv(
+            p + "_branch2c", self.dim_out, 1, 1, dtype=self.dtype,
+            kernel_init=nn.initializers.variance_scaling(
+                0.01, "fan_in", "truncated_normal"
+            ),
+        )(cur)
         cur = AffineChannel(self.dim_out, name=p + "_branch2c_bn")(cur)
 
         if self.dim_in != self.dim_out:

@@ -43,9 +43,30 @@ def create_mesh(
     return Mesh(arr, ("data", "model"))
 
 
+def create_multislice_mesh(
+    n_slices: Optional[int] = None,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Multi-slice mesh: ('dcn', 'data', 'model') with gradient reduction
+    hierarchical over ICI within a slice and DCN across slices — the
+    TPU-native replacement for the reference's multi-node
+    data_parallel_model.Parallelize + Gloo rendezvous
+    (python/data_parallel_model.py:52,60,168). On a single slice this
+    degenerates to a ('dcn'=1) mesh and is equivalent to create_mesh."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_slices is None:
+        slice_ids = {getattr(d, "slice_index", 0) for d in devices}
+        n_slices = max(len(slice_ids), 1)
+    per_slice = len(devices) // n_slices
+    assert per_slice * n_slices == len(devices)
+    arr = np.asarray(devices).reshape(n_slices, per_slice, 1)
+    return Mesh(arr, ("dcn", "data", "model"))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (batch/group) dim over 'data'."""
-    return NamedSharding(mesh, P("data"))
+    """Shard the leading (batch/group) dim over all data-like axes."""
+    axes = tuple(a for a in ("dcn", "data") if a in mesh.axis_names)
+    return NamedSharding(mesh, P(axes if len(axes) > 1 else axes[0]))
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:

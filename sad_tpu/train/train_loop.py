@@ -101,6 +101,7 @@ def train_model(
         logger.info("Initialized student from %s", cfg.TRAIN.WEIGHTS)
 
     # ----- data
+    is_rcnn = cfg.MODEL.TYPE in ("generalized_rcnn", "rpn", "rfcn")
     own_loader = loader is None
     if own_loader:
         roidb = combined_roidb_for_training(
@@ -111,16 +112,37 @@ def train_model(
             unlabeled = combined_roidb_for_training(
                 cfg.DISTILLATION.UNLABEL_DATASETS, cfg.TRAIN.USE_FLIPPED
             )
+        builder = None
+        if is_rcnn:
+            from sad_tpu.data.rpn_minibatch import RCNNMinibatchBuilder
+
+            builder = RCNNMinibatchBuilder(cfg)
         loader = TrainingLoader(
-            cfg, roidb, teacher_cfg if distill else None, unlabeled
+            cfg, roidb, teacher_cfg if distill else None, unlabeled,
+            builder=builder,
         ).start(prefill=True)
 
     # ----- jitted step
     n_groups = cfg.NUM_GPUS
-    step_fn = jax.jit(
-        make_train_step(cfg, student, teacher, n_groups=n_groups),
-        donate_argnums=(0,),
-    )
+    if is_rcnn:
+        from .rcnn_train import make_rcnn_train_step
+
+        rcnn_step = jax.jit(
+            make_rcnn_train_step(cfg, student, n_groups=n_groups),
+            donate_argnums=(0,),
+        )
+        step_rng = jax.random.PRNGKey(cfg.RNG_SEED + 7)
+
+        def step_fn(state, _teacher_params, batch, lr):
+            nonlocal step_rng
+            step_rng, sub = jax.random.split(step_rng)
+            return rcnn_step(state, batch, lr, sub)
+
+    else:
+        step_fn = jax.jit(
+            make_train_step(cfg, student, teacher, n_groups=n_groups),
+            donate_argnums=(0,),
+        )
     state = TrainState(params, velocity)
     stats = TrainingStats(max_iters)
     snapshot_period = max(1, cfg.TRAIN.SNAPSHOT_ITERS // max(cfg.NUM_GPUS, 1))

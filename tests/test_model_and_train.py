@@ -336,3 +336,56 @@ class TestJointTrainStep:
         step = jax.jit(make_train_step(cfg, student, teacher, n_groups=G))
         new_state, metrics = step(state, tp_r, batch_sh, jnp.float32(0.01))
         assert np.isfinite(float(metrics["loss"]))
+
+
+class TestMultiSliceMesh:
+    def test_dcn_data_mesh_step(self):
+        """2 virtual slices x 4 chips: hierarchical data parallelism
+        (the multi-node data_parallel_model equivalent)."""
+        from sad_tpu.parallel.mesh import (
+            create_multislice_mesh,
+            replicated_sharding,
+            shard_batch_tree,
+        )
+
+        cfg = tiny_cfg(n_groups=8)
+        arch = tiny_arch()
+        student, teacher = RetinaNet(arch), RetinaNet(arch)
+        H = W = 128
+        B, G = 8, 8
+        sp = init_model_params(student, jax.random.PRNGKey(0), (1, H, W, 3))
+        tp = init_model_params(teacher, jax.random.PRNGKey(1), (1, H, W, 3))
+        rng = np.random.RandomState(0)
+        a = arch.num_anchors
+        batch = {
+            "data": jnp.asarray(rng.randn(B, H, W, 3), jnp.float32),
+            "teacher_data": jnp.asarray(rng.randn(B, H, W, 3), jnp.float32),
+            "labels": {}, "bbox_targets": {}, "fg_mask": {},
+            "fg_num": jnp.asarray(rng.uniform(1, 9, (G,)), jnp.float32),
+        }
+        for lvl in cfg.fpn_levels():
+            s = 2 ** lvl
+            h, w = H // s, W // s
+            batch["labels"][lvl] = jnp.asarray(
+                rng.randint(-1, 5, (B, h, w, a)), jnp.int32
+            )
+            batch["bbox_targets"][lvl] = jnp.asarray(
+                rng.randn(B, h, w, a, 4), jnp.float32
+            )
+            batch["fg_mask"][lvl] = jnp.asarray(
+                rng.uniform(size=(B, h, w, a)) < 0.05
+            )
+        mesh = create_multislice_mesh(n_slices=2)
+        assert mesh.axis_names == ("dcn", "data", "model")
+        assert mesh.devices.shape == (2, 4, 1)
+        rep = replicated_sharding(mesh)
+        state = TrainState(
+            jax.device_put(sp, rep),
+            jax.device_put(init_momentum_state(sp).velocity, rep),
+        )
+        step = jax.jit(make_train_step(cfg, student, teacher, n_groups=G))
+        new_state, metrics = step(
+            state, jax.device_put(tp, rep), shard_batch_tree(batch, mesh),
+            jnp.float32(0.01),
+        )
+        assert np.isfinite(float(metrics["loss"]))
