@@ -164,32 +164,40 @@ class COCOEvaluator:
         recall = -np.ones((T, K, A, M))
 
         area_items = list(AREA_RNGS.items())
+        max_md = max(MAX_DETS)
         for ki, cat in enumerate(self.cat_ids):
             for ai, (_, rng) in enumerate(area_items):
+                # match once per (img, cat, area) at the largest maxDet; the
+                # smaller maxDets are per-image prefixes of the same greedy
+                # matching (dets are score-sorted), sliced at accumulate —
+                # the same structure pycocotools uses.
+                full_evals = [
+                    self._evaluate_img_cat(
+                        dts_by_key.get((img, cat), []),
+                        self._gt.get((img, cat), []),
+                        rng,
+                        max_md,
+                    )
+                    for img in self.img_ids
+                ]
+                full_evals = [e for e in full_evals if e is not None]
+                if not full_evals:
+                    continue
+                npig = sum(e["num_gt"] for e in full_evals)
+                if npig == 0:
+                    continue
                 for mi, max_det in enumerate(MAX_DETS):
-                    evals = [
-                        self._evaluate_img_cat(
-                            dts_by_key.get((img, cat), []),
-                            self._gt.get((img, cat), []),
-                            rng,
-                            max_det,
-                        )
-                        for img in self.img_ids
-                    ]
-                    evals = [e for e in evals if e is not None]
-                    if not evals:
-                        continue
-                    npig = sum(e["num_gt"] for e in evals)
-                    if npig == 0:
-                        continue
-                    scores = np.concatenate([e["dt_scores"] for e in evals])
+                    evals = full_evals
+                    scores = np.concatenate(
+                        [e["dt_scores"][:max_det] for e in evals]
+                    )
                     order = np.argsort(-scores, kind="mergesort")
-                    dtm = np.concatenate([e["dt_matches"] for e in evals], axis=1)[
-                        :, order
-                    ]
-                    dtig = np.concatenate([e["dt_ignore"] for e in evals], axis=1)[
-                        :, order
-                    ]
+                    dtm = np.concatenate(
+                        [e["dt_matches"][:, :max_det] for e in evals], axis=1
+                    )[:, order]
+                    dtig = np.concatenate(
+                        [e["dt_ignore"][:, :max_det] for e in evals], axis=1
+                    )[:, order]
                     tps = (dtm > 0) & ~dtig
                     fps = (dtm == 0) & ~dtig
                     tp_sum = np.cumsum(tps, axis=1).astype(np.float64)

@@ -1,0 +1,63 @@
+"""Keypoint utilities (ref: detectron/lib/utils/keypoints.py).
+
+COCO 17-keypoint metadata, horizontal-flip index mapping, and heatmap ->
+keypoint decoding for inference (heatmaps_to_keypoints)."""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+
+COCO_KEYPOINTS = [
+    "nose", "left_eye", "right_eye", "left_ear", "right_ear",
+    "left_shoulder", "right_shoulder", "left_elbow", "right_elbow",
+    "left_wrist", "right_wrist", "left_hip", "right_hip",
+    "left_knee", "right_knee", "left_ankle", "right_ankle",
+]
+
+
+def get_keypoints() -> Tuple[List[str], dict]:
+    """Names + flip map (ref: keypoints.py get_keypoints)."""
+    flip_map = {}
+    for name in COCO_KEYPOINTS:
+        if name.startswith("left_"):
+            flip_map[name] = "right_" + name[5:]
+            flip_map["right_" + name[5:]] = name
+    return COCO_KEYPOINTS, flip_map
+
+
+def flip_keypoint_channels() -> np.ndarray:
+    """Index permutation applying the left/right swap."""
+    names, flip_map = get_keypoints()
+    idx = np.arange(len(names))
+    for i, n in enumerate(names):
+        if n in flip_map:
+            idx[i] = names.index(flip_map[n])
+    return idx
+
+
+def heatmaps_to_keypoints(
+    heatmaps: np.ndarray,  # (R, S, S, K) logits or probs
+    rois: np.ndarray,  # (R, 4) xyxy in image coords
+) -> np.ndarray:
+    """Decode per-roi heatmaps to keypoint (x, y, logit, prob) rows
+    (ref: keypoints.py heatmaps_to_keypoints: argmax per channel, mapped back
+    through the roi transform). Returns (R, 4, K)."""
+    r, s, _, k = heatmaps.shape
+    out = np.zeros((r, 4, k), np.float32)
+    widths = np.maximum(rois[:, 2] - rois[:, 0], 1.0)
+    heights = np.maximum(rois[:, 3] - rois[:, 1], 1.0)
+    for i in range(r):
+        hm = heatmaps[i]  # (S, S, K)
+        flat = hm.reshape(-1, k)
+        pos = flat.argmax(axis=0)
+        py, px = np.divmod(pos, s)
+        # +0.5: center of the heatmap cell (keypoints.py coordinate mapping)
+        x = (px + 0.5) * widths[i] / s + rois[i, 0]
+        y = (py + 0.5) * heights[i] / s + rois[i, 1]
+        logit = flat[pos, np.arange(k)]
+        e = np.exp(flat - flat.max(axis=0, keepdims=True))
+        prob = (e / e.sum(axis=0, keepdims=True))[pos, np.arange(k)]
+        out[i] = np.stack([x, y, logit, prob])
+    return out
