@@ -59,14 +59,35 @@ def _iou_xywh(dt: np.ndarray, gt: np.ndarray, iscrowd: np.ndarray) -> np.ndarray
     return np.where(union > 0, inter / union, 0.0)
 
 
+def _rle_iou(dt_rles, gt_rles, iscrowd):
+    """Mask IoU matrix from uncompressed RLEs (pycocotools semantics:
+    crowd gt uses intersection / det area)."""
+    from sad_tpu.utils.segms import rle_to_mask
+
+    d_masks = [rle_to_mask(r).astype(bool) for r in dt_rles]
+    g_masks = [rle_to_mask(r).astype(bool) for r in gt_rles]
+    out = np.zeros((len(d_masks), len(g_masks)))
+    for i, dm in enumerate(d_masks):
+        da = dm.sum()
+        for j, gm in enumerate(g_masks):
+            inter = np.logical_and(dm, gm).sum()
+            union = da if iscrowd[j] else da + gm.sum() - inter
+            out[i, j] = inter / union if union > 0 else 0.0
+    return out
+
+
 class COCOEvaluator:
-    """Evaluate box detections against COCO-format ground truth.
+    """Evaluate detections against COCO-format ground truth.
 
     gt_dataset: dict with 'images', 'annotations', 'categories' (COCO json).
-    Detections: list of {'image_id', 'category_id', 'bbox' xywh, 'score'}.
+    Detections: {'image_id', 'category_id', 'score', 'bbox' xywh} and, for
+    iou_type='segm', 'segmentation' as uncompressed RLE. iou_type selects
+    box or mask IoU (the reference evaluates both via pycocotools;
+    json_dataset_evaluator.py).
     """
 
-    def __init__(self, gt_dataset: Dict):
+    def __init__(self, gt_dataset: Dict, iou_type: str = "bbox"):
+        self.iou_type = iou_type
         self.cat_ids = sorted(c["id"] for c in gt_dataset.get("categories", []))
         self.img_ids = sorted(im["id"] for im in gt_dataset.get("images", []))
         self._gt = defaultdict(list)  # (img_id, cat_id) -> list of anns
@@ -100,9 +121,16 @@ class COCOEvaluator:
         iscrowd = np.array([bool(g.get("iscrowd", 0)) for g in gts], dtype=bool)
 
         dts = sorted(dts, key=lambda d: -d["score"])[:max_det]
-        d_boxes = np.array([d["bbox"] for d in dts], dtype=np.float64).reshape(-1, 4)
-        g_boxes = np.array([g["bbox"] for g in gts], dtype=np.float64).reshape(-1, 4)
-        ious = _iou_xywh(d_boxes, g_boxes, iscrowd)
+        if self.iou_type == "segm":
+            ious = _rle_iou(
+                [d["segmentation"] for d in dts],
+                [g["segmentation"] for g in gts],
+                iscrowd,
+            )
+        else:
+            d_boxes = np.array([d["bbox"] for d in dts], dtype=np.float64).reshape(-1, 4)
+            g_boxes = np.array([g["bbox"] for g in gts], dtype=np.float64).reshape(-1, 4)
+            ious = _iou_xywh(d_boxes, g_boxes, iscrowd)
 
         T, D, G = len(IOU_THRS), len(dts), len(gts)
         dt_m = np.zeros((T, D), dtype=np.int64)  # matched gt index + 1, 0 = none

@@ -1,0 +1,107 @@
+"""RPN-only proposal generation over a dataset.
+
+Capability-equivalent to detectron/lib/core/rpn_generator.py: run an
+RPN(-only or full) model over a dataset and write proposals as a pickle
+{boxes: [per-image (K,4)], scores: [...], ids: [...], cfg: yaml} consumable
+as TRAIN/TEST.PROPOSAL_FILES by the proposal-based Fast R-CNN path.
+Batched on device like the rest of the inference engine.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sad_tpu.config import Config
+from sad_tpu.data.dataset import CocoDataset
+from sad_tpu.eval.test_engine import _test_canvas_shapes, prepare_test_batch
+from sad_tpu.utils.logging import setup_logging
+
+logger = setup_logging(__name__)
+
+
+def generate_rpn_on_dataset(
+    cfg: Config,
+    model,
+    params,
+    dataset_name: Optional[str] = None,
+    batch_size: int = 8,
+    output_file: Optional[str] = None,
+) -> Dict[str, list]:
+    """Run the model's proposal stage over the dataset; returns/writes the
+    proposal dict (rpn_generator.py generate_rpn_on_dataset +
+    evaluate_proposal_file hooks are host-side utilities over this)."""
+    name = dataset_name or cfg.TEST.DATASETS[0]
+    ds = CocoDataset(name)
+    roidb = ds.get_roidb(include_gt=False)
+
+    @jax.jit
+    def infer(params, data, im_hw):
+        out = model.apply({"params": params}, data, im_hw)
+        return out["rois"], out["roi_scores"], out["roi_valid"]
+
+    land, port = _test_canvas_shapes(cfg)
+    groups = {"l": [], "p": []}
+    for e in roidb:
+        groups["l" if e["width"] >= e["height"] else "p"].append(e)
+
+    boxes_out, scores_out, ids_out = [], [], []
+    for key, canvas in (("l", land), ("p", port)):
+        entries = groups[key]
+        for i in range(0, len(entries), batch_size):
+            chunk = entries[i : i + batch_size]
+            pad = batch_size - len(chunk)
+            host = prepare_test_batch(cfg, chunk + [chunk[-1]] * pad, canvas)
+            rois, scores, valid = infer(
+                params, jnp.asarray(host["data"]), jnp.asarray(host["im_hw"])
+            )
+            rois = np.asarray(rois)
+            scores = np.asarray(scores)
+            valid = np.asarray(valid)
+            im_scale = host["im_scale"]
+            for j, e in enumerate(chunk):
+                m = valid[j]
+                # proposals back to original image coords
+                boxes_out.append((rois[j][m] / im_scale[j]).astype(np.float32))
+                scores_out.append(scores[j][m].astype(np.float32))
+                ids_out.append(e["id"])
+    out = {"boxes": boxes_out, "scores": scores_out, "ids": ids_out}
+    if output_file:
+        os.makedirs(os.path.dirname(output_file) or ".", exist_ok=True)
+        with open(output_file, "wb") as f:
+            pickle.dump(out, f, pickle.HIGHEST_PROTOCOL)
+        logger.info("Wrote %d images' proposals -> %s", len(ids_out), output_file)
+    return out
+
+
+def add_proposals_to_roidb(
+    roidb: List[dict], proposal_file: str, top_k: int = -1
+) -> None:
+    """Attach precomputed proposals to roidb entries
+    (ref: json_dataset.py get_roidb proposal_file path + _merge_proposal_boxes).
+    Entries gain a 'proposal_boxes' array."""
+    with open(proposal_file, "rb") as f:
+        props = pickle.load(f, encoding="latin1")
+    by_id = {i: k for k, i in enumerate(props["ids"])}
+    for e in roidb:
+        k = by_id.get(e["id"])
+        boxes = (
+            props["boxes"][k]
+            if k is not None
+            else np.zeros((0, 4), np.float32)
+        )
+        if top_k > 0:
+            boxes = boxes[:top_k]
+        if e.get("flipped"):
+            w = e["width"]
+            boxes = boxes.copy()
+            x1 = boxes[:, 0].copy()
+            x2 = boxes[:, 2].copy()
+            boxes[:, 0] = w - x2 - 1
+            boxes[:, 2] = w - x1 - 1
+        e["proposal_boxes"] = boxes

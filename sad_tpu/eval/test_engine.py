@@ -122,21 +122,39 @@ def run_inference_on_roidb(
             scores = np.asarray(out["scores"])
             classes = np.asarray(out["classes"])
             valid = np.asarray(out["valid"])
+            mask_prob = (
+                np.asarray(out["mask_prob"]) if "mask_prob" in out else None
+            )
             timer.toc()
             for j, e in enumerate(chunk):
-                for b, s, c, v in zip(boxes[j], scores[j], classes[j], valid[j]):
+                for k, (b, s, c, v) in enumerate(
+                    zip(boxes[j], scores[j], classes[j], valid[j])
+                ):
                     if not v:
                         continue
                     x1, y1, x2, y2 = (float(t) for t in b)
-                    detections.append(
-                        {
-                            "image_id": e["id"],
-                            "category_id": contiguous_to_json[int(c)],
-                            # xyxy (legacy +1 extents) -> COCO xywh
-                            "bbox": [x1, y1, x2 - x1 + 1.0, y2 - y1 + 1.0],
-                            "score": float(s),
-                        }
-                    )
+                    det = {
+                        "image_id": e["id"],
+                        "category_id": contiguous_to_json[int(c)],
+                        # xyxy (legacy +1 extents) -> COCO xywh
+                        "bbox": [x1, y1, x2 - x1 + 1.0, y2 - y1 + 1.0],
+                        "score": float(s),
+                    }
+                    if mask_prob is not None:
+                        # paste the roi-frame mask into the image frame and
+                        # RLE-encode (segm_results, test.py + segms utils)
+                        from sad_tpu.utils.segms import (
+                            mask_to_rle,
+                            paste_mask_into_image,
+                        )
+
+                        mp = mask_prob[j, k, :, :, int(c)]
+                        full = paste_mask_into_image(
+                            mp, b, int(e["height"]), int(e["width"]),
+                            cfg.MRCNN.THRESH_BINARIZE,
+                        )
+                        det["segmentation"] = mask_to_rle(full)
+                    detections.append(det)
             if (i // batch_size) % 10 == 0:
                 logger.info(
                     "inference %s: %d/%d (avg %.3fs/batch)",

@@ -86,3 +86,29 @@ def paste_mask_into_image(
         resized[oy1 - y1 : oy2 - y1, ox1 - x1 : ox2 - x1] >= thresh
     ).astype(np.uint8)
     return out
+
+
+def mask_to_rle(mask: np.ndarray) -> dict:
+    """Uncompressed COCO RLE (column-major run lengths starting with the
+    count of zeros) — the json-serializable 'segmentation' format for mask
+    results (pycocotools maskUtils convention)."""
+    h, w = mask.shape
+    flat = np.asarray(mask, np.uint8).flatten(order="F")
+    changes = np.flatnonzero(flat[1:] != flat[:-1]) + 1
+    runs = np.diff(np.concatenate([[0], changes, [len(flat)]]))
+    counts = runs.tolist()
+    if flat[0] == 1:  # RLE starts with a zero-run
+        counts = [0] + counts
+    return {"size": [int(h), int(w)], "counts": counts}
+
+
+def rle_to_mask(rle: dict) -> np.ndarray:
+    h, w = rle["size"]
+    flat = np.zeros(h * w, np.uint8)
+    pos = 0
+    val = 0
+    for run in rle["counts"]:
+        flat[pos : pos + run] = val
+        pos += run
+        val = 1 - val
+    return flat.reshape((h, w), order="F")

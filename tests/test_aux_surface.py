@@ -1,0 +1,94 @@
+"""Aux surface: keypoint utils, RLE, image-list dataset, proposal files,
+model summary."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from sad_tpu.utils import segms
+from sad_tpu.utils.keypoints import (
+    flip_keypoint_channels,
+    get_keypoints,
+    heatmaps_to_keypoints,
+)
+
+
+class TestKeypoints:
+    def test_flip_map_is_involution(self):
+        idx = flip_keypoint_channels()
+        np.testing.assert_array_equal(idx[idx], np.arange(17))
+        names, _ = get_keypoints()
+        assert names[idx[names.index("left_eye")]] == "right_eye"
+        assert names[idx[names.index("nose")]] == "nose"
+
+    def test_heatmap_decode_peak_location(self):
+        hm = np.full((1, 8, 8, 2), -5.0, np.float32)
+        hm[0, 2, 6, 0] = 5.0   # keypoint 0 at (py=2, px=6)
+        hm[0, 7, 0, 1] = 5.0
+        rois = np.asarray([[10.0, 20.0, 90.0, 100.0]], np.float32)
+        out = heatmaps_to_keypoints(hm, rois)
+        # x = (6+0.5)*80/8+10 = 75, y = (2+0.5)*80/8+20 = 45
+        assert out[0, 0, 0] == pytest.approx(75.0)
+        assert out[0, 1, 0] == pytest.approx(45.0)
+        assert out[0, 3, 0] > 0.9  # confident peak
+
+
+class TestRLE:
+    def test_roundtrip(self):
+        rng = np.random.RandomState(0)
+        m = (rng.uniform(size=(13, 17)) < 0.3).astype(np.uint8)
+        rle = segms.mask_to_rle(m)
+        back = segms.rle_to_mask(rle)
+        np.testing.assert_array_equal(m, back)
+        assert sum(rle["counts"]) == 13 * 17
+
+    def test_all_ones_starts_with_zero_run(self):
+        m = np.ones((3, 3), np.uint8)
+        rle = segms.mask_to_rle(m)
+        assert rle["counts"][0] == 0
+
+
+class TestImageList:
+    def test_parse(self, tmp_path):
+        f = tmp_path / "list.txt"
+        f.write_text("a/b.jpg 3\nc.jpg 0\n")
+        from sad_tpu.data.image_list_dataset import ImageListDataset
+
+        ds = ImageListDataset(str(f), "/imgs")
+        assert len(ds) == 2
+        assert ds.entries[0]["image"] == "/imgs/a/b.jpg"
+        assert ds.entries[0]["label"] == 3
+
+
+class TestProposalFiles:
+    def test_attach_and_flip(self, tmp_path):
+        from sad_tpu.eval.rpn_generator import add_proposals_to_roidb
+
+        props = {
+            "ids": [7],
+            "boxes": [np.asarray([[10, 10, 20, 20]], np.float32)],
+            "scores": [np.asarray([0.9], np.float32)],
+        }
+        pf = tmp_path / "props.pkl"
+        with open(pf, "wb") as f:
+            pickle.dump(props, f)
+        roidb = [
+            {"id": 7, "width": 100, "flipped": False},
+            {"id": 7, "width": 100, "flipped": True},
+            {"id": 8, "width": 100, "flipped": False},
+        ]
+        add_proposals_to_roidb(roidb, str(pf))
+        np.testing.assert_allclose(roidb[0]["proposal_boxes"][0], [10, 10, 20, 20])
+        np.testing.assert_allclose(roidb[1]["proposal_boxes"][0], [79, 10, 89, 20])
+        assert len(roidb[2]["proposal_boxes"]) == 0
+
+
+class TestModelSummary:
+    def test_summary_counts(self):
+        from sad_tpu.utils.net_info import print_model_summary
+
+        params = {"a": {"kernel": np.zeros((3, 4))}, "b": np.zeros((5,))}
+        txt = print_model_summary(params)
+        assert "TOTAL: 17" in txt

@@ -140,3 +140,42 @@ class TestNMS:
         kept = [int(i) for i, vv in zip(np.asarray(idx), np.asarray(v)) if vv]
         # box 1 suppressed by box 0 (same class, IoU>0.5); box 2 survives
         assert kept == [0, 2]
+
+
+class TestSegmEval:
+    def test_perfect_masks_ap_1(self):
+        from sad_tpu.utils.segms import mask_to_rle
+        import numpy as np
+
+        def box_mask(x, y, w, h, H=50, W=50):
+            m = np.zeros((H, W), np.uint8)
+            m[y:y + h, x:x + w] = 1
+            return m
+
+        gt = {
+            "images": [{"id": 1, "height": 50, "width": 50}],
+            "categories": [{"id": 1, "name": "a"}],
+            "annotations": [
+                {"id": 1, "image_id": 1, "category_id": 1,
+                 "bbox": [10, 10, 20, 20], "area": 400, "iscrowd": 0,
+                 "segmentation": mask_to_rle(box_mask(10, 10, 20, 20))},
+            ],
+        }
+        dets = [
+            {"image_id": 1, "category_id": 1, "score": 0.9,
+             "bbox": [10, 10, 20, 20],
+             "segmentation": mask_to_rle(box_mask(10, 10, 20, 20))}
+        ]
+        from sad_tpu.eval.coco_eval import COCOEvaluator
+
+        res = COCOEvaluator(gt, iou_type="segm").evaluate(dets)
+        assert res["AP"] == pytest.approx(1.0)
+        # a shifted mask has IoU ~0.5 -> only low thresholds count
+        dets2 = [
+            {"image_id": 1, "category_id": 1, "score": 0.9,
+             "bbox": [16, 10, 20, 20],
+             "segmentation": mask_to_rle(box_mask(16, 10, 20, 20))}
+        ]
+        res2 = COCOEvaluator(gt, iou_type="segm").evaluate(dets2)
+        assert res2["AP50"] == pytest.approx(1.0)
+        assert res2["AP75"] == pytest.approx(0.0)
