@@ -92,3 +92,46 @@ class TestModelSummary:
         params = {"a": {"kernel": np.zeros((3, 4))}, "b": np.zeros((5,))}
         txt = print_model_summary(params)
         assert "TOTAL: 17" in txt
+
+
+class TestVOCDataset:
+    def test_parse_and_coco_gt(self, tmp_path):
+        import os
+
+        root = tmp_path / "VOC2007"
+        (root / "Annotations").mkdir(parents=True)
+        (root / "ImageSets" / "Main").mkdir(parents=True)
+        (root / "JPEGImages").mkdir()
+        (root / "ImageSets" / "Main" / "trainval.txt").write_text("000001\n")
+        (root / "Annotations" / "000001.xml").write_text("""
+<annotation>
+  <size><width>100</width><height>80</height><depth>3</depth></size>
+  <object><name>dog</name><difficult>0</difficult>
+    <bndbox><xmin>11</xmin><ymin>21</ymin><xmax>50</xmax><ymax>60</ymax></bndbox>
+  </object>
+  <object><name>person</name><difficult>1</difficult>
+    <bndbox><xmin>1</xmin><ymin>1</ymin><xmax>20</xmax><ymax>20</ymax></bndbox>
+  </object>
+</annotation>""")
+        from sad_tpu.data.voc_dataset import VOCDataset
+
+        ds = VOCDataset(str(tmp_path), "2007", "trainval")
+        roidb = ds.get_roidb()
+        assert len(roidb) == 1
+        e = roidb[0]
+        assert e["height"] == 80 and e["width"] == 100
+        np.testing.assert_allclose(e["boxes"][0], [10, 20, 49, 59])
+        assert e["gt_classes"].tolist() == [
+            ds.classes.index("dog"), ds.classes.index("person")
+        ]
+        assert e["difficult"].tolist() == [False, True]
+
+        gt = ds.as_coco_gt(roidb)
+        assert len(gt["annotations"]) == 2
+        # VOC evaluator ignores difficult gts; perfect det on the dog -> AP 1
+        from sad_tpu.eval.voc_eval import voc_eval_boxes
+
+        dets = [{"image_id": 1, "category_id": ds.classes.index("dog"),
+                 "bbox": [10, 20, 40, 40], "score": 0.9}]
+        res = voc_eval_boxes(gt, dets)
+        assert res["mAP"] == pytest.approx(1.0)
