@@ -93,13 +93,19 @@ class FastRCNNBoxHead(nn.Module):
 
 
 class MaskHead(nn.Module):
-    """mask_rcnn_fcn_head_v1up4convs + logits (ref: mask_rcnn_heads.py):
-    4x conv 3x3 -> 2x deconv -> 1x1 per-class mask logits."""
+    """Mask head family (ref: mask_rcnn_heads.py):
+    - num_convs=4 -> mask_rcnn_fcn_head_v1up4convs (4x conv 3x3),
+    - num_convs=0 -> mask_rcnn_fcn_head_v1up (deconv only),
+    then 2x deconv and either 1x1 per-class conv logits or, with
+    use_fc_output, a dense layer emitting the mask grid
+    (MRCNN.USE_FC_OUTPUT)."""
 
     dim: int
     num_classes: int
     cls_specific: bool = True
     num_convs: int = 4
+    use_fc_output: bool = False
+    resolution: int = 28
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -111,13 +117,22 @@ class MaskHead(nn.Module):
                 _conv(f"_[mask]_fcn{i + 1}", self.dim, 3, 1, use_bias=True,
                       dtype=self.dtype, kernel_init=gauss)(x)
             )
+        out_dim = self.num_classes if self.cls_specific else 1
+        if self.use_fc_output:
+            r = x.shape[0]
+            flat = x.reshape(r, -1)
+            m = self.resolution
+            out = nn.Dense(
+                out_dim * m * m, dtype=self.dtype, param_dtype=jnp.float32,
+                kernel_init=gauss, name="mask_fcn_logits_fc",
+            )(flat)
+            return out.reshape(r, m, m, out_dim).astype(jnp.float32)
         x = nn.relu(
             nn.ConvTranspose(
                 self.dim, (2, 2), strides=(2, 2), dtype=self.dtype,
                 param_dtype=jnp.float32, kernel_init=gauss, name="conv5_mask",
             )(x)
         )
-        out_dim = self.num_classes if self.cls_specific else 1
         return _conv(
             "mask_fcn_logits", out_dim, 1, 1, use_bias=True,
             dtype=self.dtype, kernel_init=gauss,
@@ -185,9 +200,16 @@ class GeneralizedRCNN(nn.Module):
             name="box_head",
         )
         if cfg.MODEL.MASK_ON:
+            head_name = cfg.MRCNN.ROI_MASK_HEAD
+            n_convs = 4 if "4convs" in head_name else (
+                2 if "2convs" in head_name else 0
+            ) if "v1up" in head_name else 4
             self.mask_head = MaskHead(
                 cfg.MRCNN.DIM_REDUCED, cfg.MODEL.NUM_CLASSES,
                 cfg.MRCNN.CLS_SPECIFIC_MASK,
+                num_convs=n_convs,
+                use_fc_output=cfg.MRCNN.USE_FC_OUTPUT,
+                resolution=cfg.MRCNN.RESOLUTION,
                 dtype=jnp.dtype(self.arch.compute_dtype), name="mask_head",
             )
         if cfg.MODEL.KEYPOINTS_ON:

@@ -22,6 +22,7 @@ from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 class MomentumSGDState(NamedTuple):
@@ -68,6 +69,55 @@ def momentum_sgd_update(
         lambda x: x[1], out, is_leaf=lambda x: isinstance(x, tuple)
     )
     return new_params, MomentumSGDState(velocity=new_vel)
+
+
+def fused_momentum_sgd_update(
+    params: Any,
+    grads: Any,
+    state: MomentumSGDState,
+    lr: jnp.ndarray,
+    *,
+    momentum: float,
+    weight_decay: float,
+    trainable: Any,
+    is_bias: Any,
+):
+    """Same Caffe2 semantics as momentum_sgd_update over ONE raveled vector.
+
+    Measured SLOWER than the per-leaf form inside a fully-jitted train step
+    (89 vs 99 imgs/s on the v5e joint step): within one jit program XLA
+    already fuses the per-leaf updates, and the ravel/unravel concats add
+    HBM traffic. (A standalone-jitted per-leaf update DOES pay ~22 ms of
+    dispatch/output overhead — that is an artifact of running it as its own
+    program with ~200 outputs.) Kept as an option for host-driven update
+    loops; the train steps use the per-leaf form."""
+    from jax.flatten_util import ravel_pytree
+
+    p_vec, unravel = ravel_pytree(params)
+    g_vec, _ = ravel_pytree(
+        jax.tree_util.tree_map(lambda g: g.astype(jnp.float32), grads)
+    )
+    v_vec, _ = ravel_pytree(state.velocity)
+
+    def role_vec(fn):
+        parts = [
+            jnp.full((int(np.prod(p.shape)) if p.shape else 1,), fn(t, b), jnp.float32)
+            for p, t, b in zip(
+                jax.tree_util.tree_leaves(params),
+                jax.tree_util.tree_leaves(trainable),
+                jax.tree_util.tree_leaves(is_bias),
+            )
+        ]
+        return jnp.concatenate(parts)
+
+    grad_mul = role_vec(lambda t, b: (2.0 if b else 1.0) if t else 0.0)
+    wd = role_vec(lambda t, b: weight_decay if (t and not b) else 0.0)
+    train = role_vec(lambda t, b: 1.0 if t else 0.0)
+
+    g_eff = g_vec * grad_mul + wd * p_vec
+    v_new = (momentum * v_vec + lr * g_eff) * train  # frozen keep zero history
+    p_new = p_vec - v_new
+    return unravel(p_new), MomentumSGDState(velocity=unravel(v_new))
 
 
 def rescale_momentum(state: MomentumSGDState, correction: float, trainable: Any):

@@ -389,3 +389,45 @@ class TestMultiSliceMesh:
             jnp.float32(0.01),
         )
         assert np.isfinite(float(metrics["loss"]))
+
+
+class TestFusedOptimizer:
+    def test_fused_matches_per_leaf(self):
+        from sad_tpu.train.optimizer import (
+            MomentumSGDState,
+            fused_momentum_sgd_update,
+            momentum_sgd_update,
+        )
+
+        rng = np.random.RandomState(0)
+        params = {
+            "w": jnp.asarray(rng.randn(4, 3), jnp.float32),
+            "bias": jnp.asarray(rng.randn(3), jnp.float32),
+            "frozen": jnp.asarray(rng.randn(2, 2), jnp.float32),
+        }
+        grads = jax.tree_util.tree_map(
+            lambda p: jnp.asarray(rng.randn(*p.shape), jnp.float32), params
+        )
+        vel = jax.tree_util.tree_map(
+            lambda p: jnp.asarray(rng.randn(*p.shape) * 0.1, jnp.float32), params
+        )
+        trainable = {"w": True, "bias": True, "frozen": False}
+        is_bias = {"w": False, "bias": True, "frozen": False}
+        kw = dict(momentum=0.9, weight_decay=1e-4, trainable=trainable,
+                  is_bias=is_bias)
+        # per-leaf reference: frozen velocity untouched; fused zeroes frozen
+        # velocity — zero it in the input so both paths agree (real training
+        # always starts frozen velocity at zero)
+        vel = dict(vel, frozen=jnp.zeros_like(vel["frozen"]))
+        p1, s1 = momentum_sgd_update(
+            params, grads, MomentumSGDState(vel), jnp.float32(0.02), **kw
+        )
+        p2, s2 = fused_momentum_sgd_update(
+            params, grads, MomentumSGDState(vel), jnp.float32(0.02), **kw
+        )
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+            ),
+            (p1, s1.velocity), (p2, s2.velocity),
+        )
