@@ -22,12 +22,18 @@ _BLOCK_COUNTS = {
 }
 
 
+def blocks_for_body(conv_body: str, depth: int):
+    """conv4 bodies stop at res4 (ResNet.py add_ResNet*_conv4_body)."""
+    bc = _BLOCK_COUNTS[depth]
+    return bc[:3] if "conv4" in conv_body else bc
+
+
 @dataclass(frozen=True)
 class ModelArch:
     """Everything the model modules need, all static/hashable."""
 
     depth: int  # 50 | 101 | 152
-    block_counts: Tuple[int, int, int, int]
+    block_counts: Tuple[int, ...]  # 3 stages for conv4 bodies, 4 for conv5
     num_groups: int
     width_per_group: int
     stride_1x1: bool
@@ -92,7 +98,7 @@ def arch_from_config(cfg: Config) -> ModelArch:
     depth = parse_conv_body(cfg.MODEL.CONV_BODY) if cfg.MODEL.CONV_BODY else 50
     return ModelArch(
         depth=depth,
-        block_counts=_BLOCK_COUNTS[depth],
+        block_counts=blocks_for_body(cfg.MODEL.CONV_BODY or "conv5", depth),
         num_groups=cfg.RESNETS.NUM_GROUPS,
         width_per_group=cfg.RESNETS.WIDTH_PER_GROUP,
         stride_1x1=cfg.RESNETS.STRIDE_1X1,

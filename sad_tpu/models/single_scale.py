@@ -88,6 +88,40 @@ class RFCNHead(nn.Module):
         return cls_score, bbox_pred
 
 
+class ResNetRoIConv5Head(nn.Module):
+    """res5 stage applied per RoI + average pool (ref: ResNet.py
+    add_ResNet_roi_conv5_head): the C4 Faster R-CNN box head."""
+
+    arch: Any
+    resolution: int = 14
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, roi_feats: jnp.ndarray):  # (R, res, res, 1024*ratio)
+        from .resnet import Bottleneck
+
+        a = self.arch
+        dims = a.stage_dims()
+        dim_in = dims[2]  # res4 output
+        dim_out = dims[3]
+        inner = int(a.num_groups * a.width_per_group * a.channel_ratio) * 8
+        stride_init = max(self.resolution // 7, 1)
+        x = roi_feats.astype(self.dtype)
+        for i in range(a.block_counts[-1] if len(a.block_counts) == 4 else 3):
+            x = Bottleneck(
+                prefix=f"res5_{i}",
+                dim_in=dim_in if i == 0 else dim_out,
+                dim_out=dim_out,
+                dim_inner=inner,
+                stride=stride_init if i == 0 else 1,
+                groups=a.num_groups,
+                dilation=1,
+                stride_1x1=a.stride_1x1,
+                dtype=self.dtype,
+            )(x)
+        return x.mean(axis=(1, 2))  # global average pool (res5_pool)
+
+
 class SingleScaleRCNN(nn.Module):
     """Non-FPN Faster R-CNN / R-FCN at stride 16.
 
@@ -117,6 +151,21 @@ class SingleScaleRCNN(nn.Module):
             # ps grid 7x7 (ref default RFCN.PS_GRID_SIZE)
             self.rfcn = RFCNHead(
                 cfg.MODEL.NUM_CLASSES, 7, dtype=dtype, name="rfcn",
+            )
+        elif "ResNet" in cfg.FAST_RCNN.ROI_BOX_HEAD:
+            from .arch import arch_from_config
+
+            self.res5_head = ResNetRoIConv5Head(
+                arch_from_config(cfg), cfg.FAST_RCNN.ROI_XFORM_RESOLUTION,
+                dtype=dtype, name="res5_head",
+            )
+            self.cls_score = nn.Dense(
+                cfg.MODEL.NUM_CLASSES, dtype=dtype, param_dtype=jnp.float32,
+                kernel_init=nn.initializers.normal(0.01), name="cls_score",
+            )
+            self.bbox_pred = nn.Dense(
+                4 * cfg.MODEL.NUM_CLASSES, dtype=dtype, param_dtype=jnp.float32,
+                kernel_init=nn.initializers.normal(0.001), name="bbox_pred",
             )
         else:
             self.fc6 = nn.Dense(4096, dtype=dtype, param_dtype=jnp.float32,
@@ -181,9 +230,12 @@ class SingleScaleRCNN(nn.Module):
                 cfg.FAST_RCNN.ROI_XFORM_RESOLUTION,
                 cfg.FAST_RCNN.ROI_XFORM_SAMPLING_RATIO,
             )
-            x = pooled.reshape(pooled.shape[0], -1)
-            x = nn.relu(self.fc6(x))
-            x = nn.relu(self.fc7(x))
+            if hasattr(self, "res5_head"):
+                x = self.res5_head(pooled)
+            else:
+                x = pooled.reshape(pooled.shape[0], -1)
+                x = nn.relu(self.fc6(x))
+                x = nn.relu(self.fc7(x))
             cls_score = self.cls_score(x).astype(jnp.float32)
             bbox_pred = self.bbox_pred(x).astype(jnp.float32)
 

@@ -69,3 +69,37 @@ class TestVGG16:
         f = body.apply({"params": params}, x)
         assert f.shape == (1, 4, 4, 512)  # stride 16
         assert "conv5_3" in params and "conv1_1" in params
+
+
+class TestC4ResNetHead:
+    def test_conv4_body_plus_res5_head(self):
+        import dataclasses
+        cfg = ss_cfg(body="ResNet.add_ResNet50_conv4_body")
+        cfg = dataclasses.replace(
+            cfg,
+            RESNETS=dataclasses.replace(cfg.RESNETS, CHANNEL_RATIO=0.0625),
+            FAST_RCNN=dataclasses.replace(
+                cfg.FAST_RCNN,
+                ROI_BOX_HEAD="ResNet.add_ResNet_roi_conv5_head",
+                ROI_XFORM_RESOLUTION=14,
+            ),
+        )
+        from sad_tpu.models import create_model
+        model = create_model(cfg)
+        images = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        im_hw = jnp.asarray([[64, 64]], jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), images, im_hw)["params"]
+        # conv4 body: no trunk res5; the head owns res5_*
+        def all_paths(tree, prefix=""):
+            if isinstance(tree, dict):
+                for k, v in tree.items():
+                    yield from all_paths(v, prefix + "/" + k)
+            else:
+                yield prefix
+
+        body_paths = list(all_paths(params["body"]))
+        head_paths = list(all_paths(params["res5_head"]))
+        assert not any("res5_" in p for p in body_paths)
+        assert any("res5_0_branch2a" in p for p in head_paths)
+        out = model.apply({"params": params}, images, im_hw)
+        assert out["cls_prob"].shape == (1, 8, 4)
