@@ -125,6 +125,9 @@ def run_inference_on_roidb(
             mask_prob = (
                 np.asarray(out["mask_prob"]) if "mask_prob" in out else None
             )
+            kps_heatmaps = (
+                np.asarray(out["kps_heatmaps"]) if "kps_heatmaps" in out else None
+            )
             timer.toc()
             for j, e in enumerate(chunk):
                 for k, (b, s, c, v) in enumerate(
@@ -140,6 +143,18 @@ def run_inference_on_roidb(
                         "bbox": [x1, y1, x2 - x1 + 1.0, y2 - y1 + 1.0],
                         "score": float(s),
                     }
+                    if kps_heatmaps is not None:
+                        # decode heatmaps -> COCO keypoints triplets
+                        # (keypoint_results, test.py + utils/keypoints.py)
+                        from sad_tpu.utils.keypoints import heatmaps_to_keypoints
+
+                        xy = heatmaps_to_keypoints(
+                            kps_heatmaps[j, k : k + 1], np.asarray([b])
+                        )[0]
+                        trip = []
+                        for ki in range(xy.shape[1]):
+                            trip += [float(xy[0, ki]), float(xy[1, ki]), 2]
+                        det["keypoints"] = trip
                     if mask_prob is not None:
                         # paste the roi-frame mask into the image frame and
                         # RLE-encode (segm_results, test.py + segms utils)
