@@ -125,8 +125,15 @@ class AnchorGrid:
 
     def flat_anchors(self) -> np.ndarray:
         """All anchors concatenated (T, 4) in level-major, y-major, x, anchor
-        order — the order assignment results are split back from."""
-        return np.concatenate([a.reshape(-1, 4) for a in self.anchors], axis=0)
+        order — the order assignment results are split back from. Cached
+        (anchor fields are immutable)."""
+        cached = getattr(self, "_flat_cache", None)
+        if cached is None:
+            cached = np.concatenate(
+                [a.reshape(-1, 4) for a in self.anchors], axis=0
+            )
+            object.__setattr__(self, "_flat_cache", cached)
+        return cached
 
 
 def all_field_anchors(

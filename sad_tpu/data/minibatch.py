@@ -77,16 +77,37 @@ def prep_image(
     pixel_means: Sequence[float],
     pixel_div: float,
     pixel_std: Sequence[float],
+    precise: bool = False,
 ) -> np.ndarray:
-    """Normalize then bilinear-resize (the reference order, blob.py:70-96)."""
+    """Normalize + bilinear-resize (ref order: normalize then resize,
+    blob.py:70-96).
+
+    Fast path (default): resize the uint8 image once, then normalize —
+    valid because per-channel affine normalization commutes with bilinear
+    resampling; only the resampler's uint8 rounding differs (<=0.5 LSB).
+    ~3x faster on the single-core host than per-channel float resizes.
+    precise=True keeps the reference's exact float order."""
+    new_w = int(round(im_bgr.shape[1] * scale))
+    new_h = int(round(im_bgr.shape[0] * scale))
+    means = np.asarray(pixel_means, np.float32).reshape(1, 1, 3)
+    stds = np.asarray(pixel_std, np.float32).reshape(1, 1, 3)
+
+    if not precise and im_bgr.dtype == np.uint8:
+        if (new_h, new_w) != im_bgr.shape[:2]:
+            im_bgr = np.asarray(
+                Image.fromarray(im_bgr).resize((new_w, new_h), Image.BILINEAR)
+            )
+        im = im_bgr.astype(np.float32)
+        im = im / np.float32(pixel_div)
+        im -= means
+        im /= stds
+        return im
+
     im = im_bgr.astype(np.float32)
     im = im / np.float32(pixel_div)
-    im -= np.asarray(pixel_means, np.float32).reshape(1, 1, 3)
-    im /= np.asarray(pixel_std, np.float32).reshape(1, 1, 3)
-    new_w = int(round(im.shape[1] * scale))
-    new_h = int(round(im.shape[0] * scale))
+    im -= means
+    im /= stds
     if (new_h, new_w) != im.shape[:2]:
-        # PIL bilinear on float32 per channel (cv2 equivalent)
         chans = [
             np.asarray(
                 Image.fromarray(im[:, :, c]).resize((new_w, new_h), Image.BILINEAR)
