@@ -32,6 +32,13 @@ from .detectron_ops import (
     box_annotator_ohem,
 )
 from .pallas_losses import fused_cls_losses
+from .proposals import (
+    generate_proposals,
+    collect_and_distribute_fpn_proposals,
+    map_rois_to_fpn_levels,
+    multilevel_roi_align,
+    sample_proposal_labels,
+)
 
 __all__ = [
     "sigmoid_focal_loss",
