@@ -34,6 +34,10 @@ class _Stream:
     """Epoch-shuffled index stream with aspect grouping."""
 
     def __init__(self, roidb: List[dict], batch_images: int, seed: int):
+        if not roidb:
+            raise ValueError(
+                "empty roidb — check TRAIN.DATASETS and the dataset catalog"
+            )
         self.roidb = roidb
         self.batch_images = batch_images
         self.rng = np.random.RandomState(seed)

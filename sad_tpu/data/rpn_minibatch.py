@@ -27,24 +27,42 @@ from .anchors import AnchorGrid, _assignment_iou, _encode_boxes, field_of_anchor
 
 
 def rpn_anchor_grid(cfg: Config, canvas_h: int, canvas_w: int) -> AnchorGrid:
-    fields, strides, hw = [], [], []
-    levels = tuple(range(cfg.FPN.RPN_MIN_LEVEL, cfg.FPN.RPN_MAX_LEVEL + 1))
-    for lvl in levels:
-        stride = 2.0 ** lvl
-        size = cfg.FPN.RPN_ANCHOR_START_SIZE * (2 ** (lvl - cfg.FPN.RPN_MIN_LEVEL))
+    """FPN: one size per level x RPN_ASPECT_RATIOS. Single-scale (no FPN):
+    all RPN.SIZES x RPN.ASPECT_RATIOS at RPN.STRIDE (rpn_heads.py:55-123)."""
+    fields, strides, hw, levels = [], [], [], []
+    if cfg.FPN.FPN_ON and cfg.FPN.MULTILEVEL_RPN:
+        lvl_range = range(cfg.FPN.RPN_MIN_LEVEL, cfg.FPN.RPN_MAX_LEVEL + 1)
+        specs = [
+            (
+                lvl,
+                2.0 ** lvl,
+                [
+                    (cfg.FPN.RPN_ANCHOR_START_SIZE
+                     * (2 ** (lvl - cfg.FPN.RPN_MIN_LEVEL)), ar)
+                    for ar in cfg.FPN.RPN_ASPECT_RATIOS
+                ],
+            )
+            for lvl in lvl_range
+        ]
+    else:
+        stride = float(cfg.RPN.STRIDE)
+        lvl = int(np.log2(stride))
+        specs = [
+            (lvl, stride,
+             [(s, ar) for s in cfg.RPN.SIZES for ar in cfg.RPN.ASPECT_RATIOS])
+        ]
+    for lvl, stride, size_ars in specs:
         cell = np.concatenate(
-            [
-                generate_cell_anchors(stride, (size,), (ar,))
-                for ar in cfg.FPN.RPN_ASPECT_RATIOS
-            ]
+            [generate_cell_anchors(stride, (s,), (ar,)) for s, ar in size_ars]
         )
         fh = int(np.ceil(canvas_h / stride))
         fw = int(np.ceil(canvas_w / stride))
         fields.append(field_of_anchors(cell, stride, fh, fw))
         strides.append(stride)
         hw.append((fh, fw))
+        levels.append(lvl)
     return AnchorGrid(
-        levels=levels,
+        levels=tuple(levels),
         strides=tuple(strides),
         field_hw=tuple(hw),
         anchors=tuple(fields),

@@ -181,6 +181,36 @@ class SingleScaleRCNN(nn.Module):
                 kernel_init=nn.initializers.normal(0.001), name="bbox_pred",
             )
 
+    def backbone(self, images):
+        """Public trunk feature (stride RPN.STRIDE) for the train step."""
+        return self._trunk(images)
+
+    def rpn_forward(self, feat):
+        return self.rpn(feat)
+
+    def box_forward(self, feat, rois5):
+        """RoI transform + box head -> (cls_score, bbox_pred)."""
+        from sad_tpu.ops.detectron_ops import roi_align
+
+        cfg = self.cfg_static
+        if cfg.MODEL.TYPE == "rfcn":
+            return self.rfcn(feat, rois5)
+        pooled = roi_align(
+            feat, rois5, 1.0 / float(cfg.RPN.STRIDE),
+            cfg.FAST_RCNN.ROI_XFORM_RESOLUTION,
+            cfg.FAST_RCNN.ROI_XFORM_SAMPLING_RATIO,
+        )
+        if hasattr(self, "res5_head"):
+            x = self.res5_head(pooled)
+        else:
+            x = pooled.reshape(pooled.shape[0], -1)
+            x = nn.relu(self.fc6(x))
+            x = nn.relu(self.fc7(x))
+        return (
+            self.cls_score(x).astype(jnp.float32),
+            self.bbox_pred(x).astype(jnp.float32),
+        )
+
     def _trunk(self, images):
         out = self.body(images)
         if isinstance(out, dict):  # ResNet C4: use res4 (stride 16)

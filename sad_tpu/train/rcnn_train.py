@@ -37,6 +37,24 @@ from sad_tpu.ops.proposals import (
 from .optimizer import MomentumSGDState, momentum_sgd_update
 from .train_step import TrainState
 
+from sad_tpu.data.anchors import field_of_anchors, generate_cell_anchors
+import numpy as np
+
+
+def _rfcn_targets(sampled, r):
+    """cls-agnostic (R, 8) targets: fg class targets collapse to column 4:8
+    (box_annotator/rfcn convention: [bg 4, fg 4])."""
+    t = sampled["bbox_targets"].reshape(r, -1, 4)
+    w = sampled["bbox_inside_weights"].reshape(r, -1, 4)
+    fg_t = (t * w).sum(axis=1)  # the one active class row
+    return jnp.concatenate([jnp.zeros_like(fg_t), fg_t], axis=1)
+
+
+def _rfcn_weights(sampled, r):
+    w = sampled["bbox_inside_weights"].reshape(r, -1, 4)
+    fg_w = (w.sum(axis=1) > 0).astype(jnp.float32)
+    return jnp.concatenate([jnp.zeros_like(fg_w), fg_w], axis=1)
+
 FLT_MIN = 1.1754944e-38
 
 
@@ -113,21 +131,37 @@ def make_rcnn_train_step(
       gt_boxes (B,G,4), gt_classes (B,G).
     """
     solver = cfg.SOLVER
+    is_fpn = cfg.FPN.FPN_ON and cfg.FPN.MULTILEVEL_RPN
     rpn_levels = tuple(range(cfg.FPN.RPN_MIN_LEVEL, cfg.FPN.RPN_MAX_LEVEL + 1))
+    import numpy as _np
+
+    ss_level = int(_np.log2(cfg.RPN.STRIDE))
 
     def step(state: TrainState, batch, lr, rng):
         G = n_groups or cfg.NUM_GPUS
 
         def loss_fn(params):
             b = batch["data"].shape[0]
-            feats = model.apply(
-                {"params": params}, batch["data"], method="backbone"
-            )
-            rpn_feats = {l: feats[l] for l in rpn_levels if l in feats}
-            logits, deltas = model.apply(
-                {"params": params}, rpn_feats,
-                method=lambda m, f: m.rpn(f),
-            )
+            if is_fpn:
+                feats = model.apply(
+                    {"params": params}, batch["data"], method="backbone"
+                )
+                rpn_feats = {l: feats[l] for l in rpn_levels if l in feats}
+                logits, deltas = model.apply(
+                    {"params": params}, rpn_feats,
+                    method=lambda m, f: m.rpn(f),
+                )
+            else:
+                # single-scale (VGG/C4/R-FCN) path: one feature map at
+                # RPN.STRIDE (rpn_heads.py:55-123)
+                feat = model.apply(
+                    {"params": params}, batch["data"], method="backbone"
+                )
+                ss_logits, ss_deltas = model.apply(
+                    {"params": params}, feat, method="rpn_forward"
+                )
+                logits = {ss_level: ss_logits}
+                deltas = {ss_level: ss_deltas}
             total, metrics = rpn_losses(cfg, logits, deltas, batch, G)
 
             # ---- proposals (train-mode top-Ns) + on-device sampling
@@ -137,6 +171,41 @@ def make_rcnn_train_step(
 
             def one_image(i, rng_i):
                 lv_b, lv_s, lv_v = {}, {}, {}
+                if not is_fpn:
+                    h, w = feat.shape[1:3]
+                    stride = float(cfg.RPN.STRIDE)
+                    cell = np.concatenate(
+                        [
+                            generate_cell_anchors(stride, (s,), (ar,))
+                            for s in cfg.RPN.SIZES
+                            for ar in cfg.RPN.ASPECT_RATIOS
+                        ]
+                    )
+                    anchors = jnp.asarray(
+                        field_of_anchors(cell, stride, h, w), jnp.float32
+                    )
+                    na = len(cfg.RPN.SIZES) * len(cfg.RPN.ASPECT_RATIOS)
+                    scores = jax.nn.sigmoid(
+                        jax.lax.stop_gradient(logits[ss_level][i])
+                    )
+                    d = jax.lax.stop_gradient(
+                        deltas[ss_level][i].reshape(h, w, na, 4)
+                    )
+                    boxes, sc, valid = generate_proposals(
+                        scores, d, anchors, batch["im_hw"][i],
+                        cfg.TRAIN.RPN_PRE_NMS_TOP_N,
+                        cfg.TRAIN.RPN_POST_NMS_TOP_N,
+                        cfg.TRAIN.RPN_NMS_THRESH,
+                        float(cfg.TRAIN.RPN_MIN_SIZE),
+                    )
+                    return sample_proposal_labels(
+                        rng_i, boxes, valid,
+                        batch["gt_boxes"][i], batch["gt_classes"][i],
+                        cfg.TRAIN.BATCH_SIZE_PER_IM, cfg.TRAIN.FG_FRACTION,
+                        cfg.TRAIN.FG_THRESH, cfg.TRAIN.BG_THRESH_HI,
+                        cfg.TRAIN.BG_THRESH_LO, cfg.MODEL.NUM_CLASSES,
+                        cfg.MODEL.BBOX_REG_WEIGHTS,
+                    )
                 for lvl in rpn_feats:
                     h, w = rpn_feats[lvl].shape[1:3]
                     stride = 2.0 ** lvl
@@ -189,6 +258,28 @@ def make_rcnn_train_step(
             flat_rois = jnp.concatenate(
                 [batch_col, sampled["rois"].reshape(-1, 4)], axis=1
             )
+            if not is_fpn:
+                cls_score, bbox_pred = model.apply(
+                    {"params": params}, feat, flat_rois, method="box_forward"
+                )
+                r_rois = cls_score.shape[0]
+                if cfg.MODEL.TYPE == "rfcn":
+                    # R-FCN bbox head is cls-agnostic (R, 8): [bg 4, fg 4]
+                    tgt = _rfcn_targets(sampled, r_rois)
+                    in_w = out_w = _rfcn_weights(sampled, r_rois)
+                else:
+                    tgt = sampled["bbox_targets"].reshape(r_rois, -1)
+                    in_w = sampled["bbox_inside_weights"].reshape(r_rois, -1)
+                    out_w = sampled["bbox_outside_weights"].reshape(r_rois, -1)
+                box_total, box_metrics = fast_rcnn_losses(
+                    cfg, cls_score, sampled["labels"].reshape(-1),
+                    bbox_pred, tgt, in_w, out_w,
+                    sampled["valid"].reshape(-1), G,
+                )
+                total = total + box_total
+                metrics.update(box_metrics)
+                metrics["loss"] = total
+                return total, metrics
             from sad_tpu.ops.proposals import map_rois_to_fpn_levels
 
             lvls = map_rois_to_fpn_levels(

@@ -103,3 +103,56 @@ class TestC4ResNetHead:
         assert any("res5_0_branch2a" in p for p in head_paths)
         out = model.apply({"params": params}, images, im_hw)
         assert out["cls_prob"].shape == (1, 8, 4)
+
+
+class TestSingleScaleTraining:
+    @pytest.mark.parametrize("mtype", ["generalized_rcnn", "rfcn"])
+    def test_one_train_step(self, mtype):
+        import dataclasses
+        import numpy as onp
+
+        cfg = ss_cfg(model_type=mtype,
+                     body="VGG_CNN_M_1024.add_VGG_CNN_M_1024_conv5_body")
+        cfg = dataclasses.replace(
+            cfg,
+            TRAIN=dataclasses.replace(
+                cfg.TRAIN,
+                SCALES=(64,), MAX_SIZE=128, IMS_PER_BATCH=2,
+                RPN_PRE_NMS_TOP_N=30, RPN_POST_NMS_TOP_N=8,
+                BATCH_SIZE_PER_IM=8,
+            ),
+            FPN=dataclasses.replace(cfg.FPN, COARSEST_STRIDE=64),
+        )
+        from sad_tpu.models import create_model
+        from sad_tpu.train import TrainState, init_momentum_state
+        from sad_tpu.train.rcnn_train import make_rcnn_train_step
+        from sad_tpu.data.rpn_minibatch import add_rpn_blobs_to_batch
+
+        model = create_model(cfg)
+        images = jnp.zeros((2, 64, 64, 3), jnp.float32)
+        im_hw = jnp.asarray([[64, 64], [64, 64]], jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), images, im_hw)["params"]
+
+        rng = onp.random.RandomState(0)
+        batch = {
+            "data": rng.randn(2, 64, 64, 3).astype(onp.float32),
+            "im_hw": onp.asarray([[64, 64], [64, 64]], onp.float32),
+        }
+        entries = [
+            {"boxes": onp.asarray([[8, 8, 40, 40]], onp.float32),
+             "gt_classes": onp.asarray([1], onp.int32),
+             "is_crowd": onp.zeros(1, bool)}
+            for _ in range(2)
+        ]
+        add_rpn_blobs_to_batch(cfg, batch, entries, (64, 64), onp.ones(2))
+        # pad gt like the builder does
+        batch = jax.tree_util.tree_map(jnp.asarray, batch)
+
+        step = jax.jit(make_rcnn_train_step(cfg, model, n_groups=1))
+        state = TrainState(params, init_momentum_state(params).velocity)
+        new_state, metrics = step(
+            state, batch, jnp.float32(1e-4), jax.random.PRNGKey(1)
+        )
+        assert np.isfinite(float(metrics["loss"]))
+        assert "loss_rpn_cls_fpn4" in metrics  # stride 16 -> level 4
+        assert np.isfinite(float(metrics["loss_cls"]))
