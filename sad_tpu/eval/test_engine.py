@@ -198,6 +198,11 @@ def test_net_on_dataset(
         with open(os.path.join(output_dir, "bbox_results.json"), "w") as f:
             json.dump(dets, f)
     results = COCOEvaluator(ds.dataset).evaluate(dets, verbose=True)
+    if cfg.MODEL.MASK_ON and dets and "segmentation" in dets[0]:
+        segm = COCOEvaluator(ds.dataset, iou_type="segm").evaluate(
+            dets, verbose=True
+        )
+        results.update({f"segm_{k}": v for k, v in segm.items()})
     return results
 
 
