@@ -59,13 +59,21 @@ def _iou_xywh(dt: np.ndarray, gt: np.ndarray, iscrowd: np.ndarray) -> np.ndarray
     return np.where(union > 0, inter / union, 0.0)
 
 
-def _rle_iou(dt_rles, gt_rles, iscrowd):
-    """Mask IoU matrix from uncompressed RLEs (pycocotools semantics:
-    crowd gt uses intersection / det area)."""
-    from sad_tpu.utils.segms import rle_to_mask
+def _seg_to_mask(seg, h, w):
+    """Decode a COCO segmentation — uncompressed RLE dict or polygon list."""
+    from sad_tpu.utils.segms import polys_to_mask, rle_to_mask
 
-    d_masks = [rle_to_mask(r).astype(bool) for r in dt_rles]
-    g_masks = [rle_to_mask(r).astype(bool) for r in gt_rles]
+    if isinstance(seg, dict):
+        return rle_to_mask(seg).astype(bool)
+    return polys_to_mask(seg, h, w).astype(bool)
+
+
+def _rle_iou(dt_segs, gt_segs, iscrowd, hw):
+    """Mask IoU matrix (pycocotools semantics: crowd gt uses
+    intersection / det area). Accepts RLE dicts or polygon lists."""
+    h, w = hw
+    d_masks = [_seg_to_mask(s, h, w) for s in dt_segs]
+    g_masks = [_seg_to_mask(s, h, w) for s in gt_segs]
     out = np.zeros((len(d_masks), len(g_masks)))
     for i, dm in enumerate(d_masks):
         da = dm.sum()
@@ -90,6 +98,10 @@ class COCOEvaluator:
         self.iou_type = iou_type
         self.cat_ids = sorted(c["id"] for c in gt_dataset.get("categories", []))
         self.img_ids = sorted(im["id"] for im in gt_dataset.get("images", []))
+        self._img_hw = {
+            im["id"]: (im.get("height", 0), im.get("width", 0))
+            for im in gt_dataset.get("images", [])
+        }
         self._gt = defaultdict(list)  # (img_id, cat_id) -> list of anns
         for ann in gt_dataset.get("annotations", []):
             if ann.get("ignore", 0):
@@ -122,10 +134,12 @@ class COCOEvaluator:
 
         dts = sorted(dts, key=lambda d: -d["score"])[:max_det]
         if self.iou_type == "segm":
+            img_id = dts[0]["image_id"] if dts else gts[0]["image_id"]
             ious = _rle_iou(
                 [d["segmentation"] for d in dts],
                 [g["segmentation"] for g in gts],
                 iscrowd,
+                self._img_hw.get(img_id, (0, 0)),
             )
         else:
             d_boxes = np.array([d["bbox"] for d in dts], dtype=np.float64).reshape(-1, 4)

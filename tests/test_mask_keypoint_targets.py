@@ -1,0 +1,82 @@
+"""On-device mask/keypoint target extraction + losses (train/mask_keypoint)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sad_tpu.config import Config
+from sad_tpu.config.config import merge_cfg_from_dict
+from sad_tpu.train.mask_keypoint import (
+    keypoint_loss,
+    keypoint_targets_on_device,
+    mask_loss,
+    mask_targets_on_device,
+)
+
+
+class TestMaskTargets:
+    def test_crop_matches_raster(self):
+        # gt raster: a filled square at stride 4
+        g, hm, wm = 2, 32, 32
+        rasters = np.zeros((g, hm, wm), np.float32)
+        rasters[0, 4:12, 4:12] = 1.0  # gt 0: box (16..47) at stride 4
+        rasters[1, 20:28, 20:28] = 1.0
+        rois = jnp.asarray([[16, 16, 47, 47], [80, 80, 111, 111]], jnp.float32)
+        matched = jnp.asarray([0, 1], jnp.int32)
+        t = mask_targets_on_device(
+            jnp.asarray(rasters), rois, matched, resolution=8, mask_stride=4.0
+        )
+        assert t.shape == (2, 8, 8)
+        # roi 0 exactly covers gt 0's square -> nearly full target
+        assert float(t[0].mean()) > 0.8
+        assert float(t[1].mean()) > 0.8
+        # mismatched roi/gt -> empty
+        t2 = mask_targets_on_device(
+            jnp.asarray(rasters), rois, jnp.asarray([1, 0], jnp.int32), 8, 4.0
+        )
+        assert float(t2[0].sum()) == 0.0
+
+    def test_mask_loss_perfect_prediction_is_small(self):
+        cfg = merge_cfg_from_dict(Config(), {"MODEL": {"NUM_CLASSES": 3}})
+        r, m = 4, 8
+        targets = jnp.asarray(
+            (np.random.RandomState(0).uniform(size=(r, m, m)) < 0.5), jnp.float32
+        )
+        logits = (targets * 2 - 1)[..., None] * 20.0  # confident per class 0
+        logits = jnp.broadcast_to(logits, (r, m, m, 3))
+        labels = jnp.asarray([1, 2, 1, 2], jnp.int32)
+        is_fg = jnp.asarray([True, True, True, False])
+        loss_good = mask_loss(cfg, logits, targets, labels, is_fg, 1)
+        loss_bad = mask_loss(cfg, -logits, targets, labels, is_fg, 1)
+        assert float(loss_good) < 1e-3
+        assert float(loss_bad) > 1.0
+
+
+class TestKeypointTargets:
+    def test_heatmap_label_indices(self):
+        kp = np.zeros((2, 3, 3), np.float32)
+        kp[0, 0] = [20, 30, 2]   # visible
+        kp[0, 1] = [0, 0, 0]     # invisible
+        kp[0, 2] = [500, 500, 2]  # outside roi
+        rois = jnp.asarray([[10, 10, 90, 90]], jnp.float32)
+        labels, valid = keypoint_targets_on_device(
+            jnp.asarray(kp), rois, jnp.asarray([0], jnp.int32), heatmap_size=8
+        )
+        assert valid[0].tolist() == [True, False, False]
+        # x=20 -> (20-10)*8/80 = 1; y=30 -> 2 -> index 2*8+1
+        assert int(labels[0, 0]) == 17
+
+    def test_keypoint_loss_prefers_correct_peak(self):
+        cfg = merge_cfg_from_dict(Config(), {"MODEL": {"NUM_CLASSES": 2}})
+        r, s, k = 1, 4, 2
+        labels = jnp.asarray([[5, 9]], jnp.int32)
+        valid = jnp.asarray([[True, True]])
+        is_fg = jnp.asarray([True])
+        logits = np.zeros((r, s, s, k), np.float32)
+        logits[0, 1, 1, 0] = 10.0  # index 5 for kp 0
+        logits[0, 2, 1, 1] = 10.0  # index 9 for kp 1
+        good = keypoint_loss(cfg, jnp.asarray(logits), labels, valid, is_fg, 1)
+        bad = keypoint_loss(cfg, jnp.asarray(-logits), labels, valid, is_fg, 1)
+        assert float(good) < 0.01
+        assert float(bad) > 1.0
