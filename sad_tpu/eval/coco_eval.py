@@ -84,6 +84,38 @@ def _rle_iou(dt_segs, gt_segs, iscrowd, hw):
     return out
 
 
+# COCO OKS per-keypoint constants (person category; pycocotools sigmas)
+COCO_KPT_SIGMAS = np.array([
+    .26, .25, .25, .35, .35, .79, .79, .72, .72, .62, .62,
+    1.07, 1.07, .87, .87, .89, .89,
+]) / 10.0
+
+
+def _oks_iou(dt_kps, gt_anns, sigmas=None):
+    """OKS matrix (D, G): exp(-d^2 / (2 s^2 k^2)) averaged over labeled
+    keypoints (pycocotools computeOks semantics)."""
+    g_count = len(gt_anns)
+    d_count = len(dt_kps)
+    out = np.zeros((d_count, g_count))
+    for j, g in enumerate(gt_anns):
+        gk = np.asarray(g["keypoints"], np.float64).reshape(-1, 3)
+        k = len(gk)
+        sig = sigmas if sigmas is not None else (
+            COCO_KPT_SIGMAS if k == 17 else np.full(k, 0.05)
+        )
+        vars_ = (sig * 2) ** 2
+        vis = gk[:, 2] > 0
+        area = max(float(g.get("area", 1.0)), 1.0)
+        for i, d in enumerate(dt_kps):
+            dk = np.asarray(d, np.float64).reshape(-1, 3)[:k]
+            dx = dk[:, 0] - gk[:, 0]
+            dy = dk[:, 1] - gk[:, 1]
+            e = (dx ** 2 + dy ** 2) / vars_ / (area + np.spacing(1)) / 2.0
+            if vis.any():
+                out[i, j] = np.mean(np.exp(-e[vis]))
+    return out
+
+
 class COCOEvaluator:
     """Evaluate detections against COCO-format ground truth.
 
@@ -133,7 +165,9 @@ class COCOEvaluator:
         iscrowd = np.array([bool(g.get("iscrowd", 0)) for g in gts], dtype=bool)
 
         dts = sorted(dts, key=lambda d: -d["score"])[:max_det]
-        if self.iou_type == "segm":
+        if self.iou_type == "keypoints":
+            ious = _oks_iou([d["keypoints"] for d in dts], gts)
+        elif self.iou_type == "segm":
             img_id = dts[0]["image_id"] if dts else gts[0]["image_id"]
             ious = _rle_iou(
                 [d["segmentation"] for d in dts],

@@ -179,3 +179,26 @@ class TestSegmEval:
         res2 = COCOEvaluator(gt, iou_type="segm").evaluate(dets2)
         assert res2["AP50"] == pytest.approx(1.0)
         assert res2["AP75"] == pytest.approx(0.0)
+
+
+class TestKeypointEval:
+    def test_oks_perfect_and_shifted(self):
+        gt = {
+            "images": [{"id": 1, "height": 100, "width": 100}],
+            "categories": [{"id": 1, "name": "person"}],
+            "annotations": [
+                {"id": 1, "image_id": 1, "category_id": 1,
+                 "bbox": [10, 10, 40, 40], "area": 1600, "iscrowd": 0,
+                 "keypoints": [20, 20, 2, 30, 30, 2, 40, 40, 2]},
+            ],
+        }
+        perfect = [{"image_id": 1, "category_id": 1, "score": 0.9,
+                    "bbox": [10, 10, 40, 40],
+                    "keypoints": [20, 20, 2, 30, 30, 2, 40, 40, 2]}]
+        res = COCOEvaluator(gt, iou_type="keypoints").evaluate(perfect)
+        assert res["AP"] == pytest.approx(1.0)
+        far = [{"image_id": 1, "category_id": 1, "score": 0.9,
+                "bbox": [10, 10, 40, 40],
+                "keypoints": [80, 80, 2, 90, 90, 2, 95, 95, 2]}]
+        res2 = COCOEvaluator(gt, iou_type="keypoints").evaluate(far)
+        assert res2["AP"] == pytest.approx(0.0)
