@@ -53,6 +53,8 @@ def generate_rpn_on_dataset(
     boxes_out, scores_out, ids_out = [], [], []
     for key, canvas in (("l", land), ("p", port)):
         entries = groups[key]
+        if not entries:
+            continue
         for i in range(0, len(entries), batch_size):
             chunk = entries[i : i + batch_size]
             pad = batch_size - len(chunk)

@@ -105,6 +105,8 @@ def run_inference_on_roidb(
     timer = Timer()
     for key, canvas in (("l", land), ("p", port)):
         entries = groups[key]
+        if not entries:
+            continue
         for i in range(0, len(entries), batch_size):
             chunk = entries[i : i + batch_size]
             # pad the final chunk to the static batch size

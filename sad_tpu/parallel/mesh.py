@@ -74,6 +74,19 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch_tree(batch, mesh: Mesh):
-    """Apply leading-dim data sharding to every array in a batch pytree."""
+    """Apply leading-dim data sharding to every array in a batch pytree.
+
+    Arrays whose leading dim is not divisible by the data axis (e.g. the
+    per-group fg_num vector when groups < devices) are replicated instead —
+    they are tiny, and XLA reshards them where needed."""
     s = batch_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
+    rep = replicated_sharding(mesh)
+    n = int(np.prod([mesh.shape[a] for a in mesh.axis_names if a != "model"]))
+
+    def put(x):
+        arr = np.asarray(x) if not hasattr(x, "shape") else x
+        if arr.ndim >= 1 and arr.shape[0] % n == 0 and arr.shape[0] > 0:
+            return jax.device_put(x, s)
+        return jax.device_put(x, rep)
+
+    return jax.tree_util.tree_map(put, batch)

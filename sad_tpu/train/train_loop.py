@@ -122,6 +122,22 @@ def train_model(
             builder=builder,
         ).start(prefill=True)
 
+    # ----- device mesh: with >1 chips, replicate params over the 'data'
+    # axis and shard batches (the reference's per-GPU replication +
+    # broadcast, as shardings; SURVEY.md §5.8)
+    mesh = None
+    if jax.device_count() > 1:
+        from sad_tpu.parallel import create_mesh
+        from sad_tpu.parallel.mesh import replicated_sharding
+
+        mesh = create_mesh()
+        rep = replicated_sharding(mesh)
+        params = jax.device_put(params, rep)
+        velocity = jax.device_put(velocity, rep)
+        if teacher_params is not None:
+            teacher_params = jax.device_put(teacher_params, rep)
+        logger.info("Using mesh %s", mesh)
+
     # ----- jitted step
     n_groups = cfg.NUM_GPUS
     if is_rcnn:
@@ -172,6 +188,10 @@ def train_model(
                 cur_lr = new_lr
 
             batch = loader.get_next_batch()
+            if mesh is not None:
+                from sad_tpu.parallel.mesh import shard_batch_tree
+
+                batch = shard_batch_tree(batch, mesh)
             state, metrics = step_fn(
                 state, teacher_params, batch, jnp.float32(cur_lr)
             )
