@@ -165,6 +165,26 @@ def train_model(
     cur_lr = get_lr_at_iter(cfg.SOLVER, start_iter)
 
     profiling = False
+    pending = None
+
+    def _consume_metrics(p_it, p_lr, p_metrics):
+        host = {k: float(v) for k, v in p_metrics.items()}
+        stats.iter_toc()
+        stats.update_iter_stats(p_it, host)
+        stats.log_iter_stats(
+            p_it, p_lr,
+            extra={"queue": loader.queue_depth(), **device_memory_stats()},
+        )
+        if not np.isfinite(host["loss"]):
+            save_checkpoint(
+                os.path.join(output_dir, "model_nan_abort.pkl"),
+                state.params, state.velocity, p_it,
+            )
+            raise FloatingPointError(
+                f"Loss is {host['loss']} at iter {p_it}; aborting "
+                "(train_net.py:186-189)"
+            )
+
     try:
         for it in range(start_iter, max_iters):
             if cfg.PROFILE_DIR and it == cfg.PROFILE_START_ITER:
@@ -195,35 +215,29 @@ def train_model(
             state, metrics = step_fn(
                 state, teacher_params, batch, jnp.float32(cur_lr)
             )
-            loss = float(metrics["loss"])
-            stats.iter_toc()
-            stats.update_iter_stats(
-                it, {k: float(v) for k, v in metrics.items()}
-            )
+            # Lagged stats: converting metrics to host floats blocks on the
+            # device (profiler-measured: float(loss) serialized every step);
+            # process the PREVIOUS step's metrics while this one runs, so one
+            # step is always in flight. The reference has the same laziness —
+            # FetchBlob reads results of the already-finished RunNet.
+            if pending is not None:
+                p_it, p_lr, p_metrics = pending
+                _consume_metrics(p_it, p_lr, p_metrics)
+            pending = (it, cur_lr, metrics)
+
             if profiling and it == cfg.PROFILE_START_ITER + cfg.PROFILE_NUM_ITERS:
                 jax.block_until_ready(metrics["loss"])
                 jax.profiler.stop_trace()
                 profiling = False
                 logger.info("profiler trace stopped")
-            stats.log_iter_stats(
-                it, cur_lr, extra={"queue": loader.queue_depth(),
-                                   **device_memory_stats()}
-            )
-
-            if not np.isfinite(loss):
-                save_checkpoint(
-                    os.path.join(output_dir, "model_nan_abort.pkl"),
-                    state.params, state.velocity, it,
-                )
-                raise FloatingPointError(
-                    f"Loss is {loss} at iter {it}; aborting (train_net.py:186-189)"
-                )
 
             if (it + 1) % snapshot_period == 0 and it + 1 < max_iters:
                 save_checkpoint(
                     os.path.join(output_dir, f"model_iter{it}.pkl"),
                     state.params, state.velocity, it + 1,
                 )
+        if pending is not None:
+            _consume_metrics(*pending)
         save_checkpoint(
             os.path.join(output_dir, "model_final.pkl"),
             state.params, state.velocity, max_iters,
