@@ -298,3 +298,52 @@ class TestJitAndVmap:
             2.0, 0.5, 0.0, c, -1, 0.25,
         )
         np.testing.assert_allclose(np.asarray(out[0]), ref0, rtol=RTOL, atol=ATOL)
+
+
+class TestRandomizedParitySweep:
+    """Property-style sweep over random shapes/hyperparameters, mirroring the
+    Caffe2 hypothesis_test_util pattern (SURVEY.md §4): many randomized
+    configurations, each checked against the NumPy transcription."""
+
+    def test_focal_and_distill_random_configs(self):
+        rng = np.random.RandomState(1234)
+        for trial in range(12):
+            n = int(rng.randint(1, 3))
+            a = int(rng.randint(1, 5))
+            c = int(rng.choice([1, 2, 5, 11]))
+            h = int(rng.randint(1, 7))
+            w = int(rng.randint(1, 7))
+            gamma = float(rng.choice([0.5, 1.0, 2.0, 4.0]))
+            alpha = float(rng.uniform(0.05, 0.95))
+            scale = float(rng.uniform(0.01, 2.0))
+            wp = float(rng.uniform(0.0, 30.0))
+            logits = rng.randn(n, a * c, h, w).astype(np.float32) * rng.uniform(0.5, 4)
+            pt = rng.uniform(1e-4, 1 - 1e-4, (n, a * c, h, w)).astype(np.float32)
+            labels = rng.randint(-1, c + 1, (n, a, h, w)).astype(np.int32)
+
+            ref_f, _ = R.sigmoid_focal_loss_fwd(
+                logits, labels, wp, gamma, alpha, c, scale
+            )
+            got_f = L.sigmoid_focal_loss(
+                jnp.asarray(_nchw_to_tpu(logits, c)),
+                jnp.asarray(_labels_to_tpu(labels)),
+                jnp.float32(wp), gamma, alpha, scale,
+            )
+            np.testing.assert_allclose(
+                np.asarray(got_f), ref_f, rtol=5e-4, atol=5e-5,
+                err_msg=f"focal trial {trial}",
+            )
+
+            ref_d, _ = R.sigmoid_adaptive_distill_loss_fwd(
+                logits, pt, labels, wp, gamma, alpha, 0.0, c, -1, scale
+            )
+            got_d = L.sigmoid_adaptive_distill_loss(
+                jnp.asarray(_nchw_to_tpu(logits, c)),
+                jnp.asarray(_nchw_to_tpu(pt, c)),
+                jnp.asarray(_labels_to_tpu(labels)),
+                jnp.float32(wp), gamma, alpha, 0.0, -1, scale,
+            )
+            np.testing.assert_allclose(
+                np.asarray(got_d), ref_d, rtol=5e-4, atol=5e-5,
+                err_msg=f"distill trial {trial}",
+            )
