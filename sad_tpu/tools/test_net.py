@@ -64,6 +64,12 @@ def main(argv=None):
             output_dir=get_output_dir(cfg, training=False),
         )
         logger.info("Results: %s", results)
+        if cfg.EXPECTED_RESULTS:
+            from sad_tpu.eval.task_evaluation import check_expected_results
+
+            check_expected_results(
+                cfg, {cfg.TEST.DATASETS[0]: {"box": results}}
+            )
 
 
 if __name__ == "__main__":

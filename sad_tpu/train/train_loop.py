@@ -160,6 +160,10 @@ def train_model(
             donate_argnums=(0,),
         )
     state = TrainState(params, velocity)
+    from sad_tpu.utils.net_info import print_model_summary
+
+    logger.info("Model parameter summary (net.py:224 print_net analogue):")
+    print_model_summary(params, max_rows=12)
     stats = TrainingStats(max_iters)
     snapshot_period = max(1, cfg.TRAIN.SNAPSHOT_ITERS // max(cfg.NUM_GPUS, 1))
     cur_lr = get_lr_at_iter(cfg.SOLVER, start_iter)
