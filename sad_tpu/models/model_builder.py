@@ -53,12 +53,15 @@ def init_model_params(model, rng: jax.Array, image_shape) -> Any:
     every head (R-CNN aux heads included)."""
     dummy = jnp.zeros(image_shape, jnp.float32)
     from .rcnn import GeneralizedRCNN
+    from .single_scale import SingleScaleRCNN
 
+    im_hw = jnp.asarray(
+        [[image_shape[1], image_shape[2]]] * image_shape[0], jnp.float32
+    )
     if isinstance(model, GeneralizedRCNN):
-        im_hw = jnp.asarray(
-            [[image_shape[1], image_shape[2]]] * image_shape[0], jnp.float32
-        )
         return model.init(rng, dummy, im_hw, method="init_all")["params"]
+    if isinstance(model, SingleScaleRCNN):
+        return model.init(rng, dummy, im_hw)["params"]
     return model.init(rng, dummy)["params"]
 
 

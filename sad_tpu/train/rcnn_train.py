@@ -133,9 +133,17 @@ def make_rcnn_train_step(
     solver = cfg.SOLVER
     is_fpn = cfg.FPN.FPN_ON and cfg.FPN.MULTILEVEL_RPN
     rpn_levels = tuple(range(cfg.FPN.RPN_MIN_LEVEL, cfg.FPN.RPN_MAX_LEVEL + 1))
-    import numpy as _np
+    roi_levels = tuple(range(cfg.FPN.ROI_MIN_LEVEL, cfg.FPN.ROI_MAX_LEVEL + 1))
+    ss_level = int(np.log2(cfg.RPN.STRIDE))
 
-    ss_level = int(_np.log2(cfg.RPN.STRIDE))
+    def _sample(rng_i, boxes, valid, gt_boxes, gt_classes):
+        return sample_proposal_labels(
+            rng_i, boxes, valid, gt_boxes, gt_classes,
+            cfg.TRAIN.BATCH_SIZE_PER_IM, cfg.TRAIN.FG_FRACTION,
+            cfg.TRAIN.FG_THRESH, cfg.TRAIN.BG_THRESH_HI,
+            cfg.TRAIN.BG_THRESH_LO, cfg.MODEL.NUM_CLASSES,
+            cfg.MODEL.BBOX_REG_WEIGHTS,
+        )
 
     def step(state: TrainState, batch, lr, rng):
         G = n_groups or cfg.NUM_GPUS
@@ -165,10 +173,6 @@ def make_rcnn_train_step(
             total, metrics = rpn_losses(cfg, logits, deltas, batch, G)
 
             # ---- proposals (train-mode top-Ns) + on-device sampling
-            import numpy as np
-
-            from sad_tpu.data.anchors import field_of_anchors, generate_cell_anchors
-
             def one_image(i, rng_i):
                 lv_b, lv_s, lv_v = {}, {}, {}
                 if not is_fpn:
@@ -198,13 +202,9 @@ def make_rcnn_train_step(
                         cfg.TRAIN.RPN_NMS_THRESH,
                         float(cfg.TRAIN.RPN_MIN_SIZE),
                     )
-                    return sample_proposal_labels(
+                    return _sample(
                         rng_i, boxes, valid,
                         batch["gt_boxes"][i], batch["gt_classes"][i],
-                        cfg.TRAIN.BATCH_SIZE_PER_IM, cfg.TRAIN.FG_FRACTION,
-                        cfg.TRAIN.FG_THRESH, cfg.TRAIN.BG_THRESH_HI,
-                        cfg.TRAIN.BG_THRESH_LO, cfg.MODEL.NUM_CLASSES,
-                        cfg.MODEL.BBOX_REG_WEIGHTS,
                     )
                 for lvl in rpn_feats:
                     h, w = rpn_feats[lvl].shape[1:3]
@@ -241,13 +241,9 @@ def make_rcnn_train_step(
                     cfg.TRAIN.RPN_POST_NMS_TOP_N,
                     cfg.FPN.ROI_MIN_LEVEL, cfg.FPN.ROI_MAX_LEVEL,
                 )
-                return sample_proposal_labels(
+                return _sample(
                     rng_i, boxes, valid,
                     batch["gt_boxes"][i], batch["gt_classes"][i],
-                    cfg.TRAIN.BATCH_SIZE_PER_IM, cfg.TRAIN.FG_FRACTION,
-                    cfg.TRAIN.FG_THRESH, cfg.TRAIN.BG_THRESH_HI,
-                    cfg.TRAIN.BG_THRESH_LO, cfg.MODEL.NUM_CLASSES,
-                    cfg.MODEL.BBOX_REG_WEIGHTS,
                 )
 
             rngs = jax.random.split(rng, b)
@@ -286,12 +282,9 @@ def make_rcnn_train_step(
                 flat_rois[:, 1:], cfg.FPN.ROI_MIN_LEVEL, cfg.FPN.ROI_MAX_LEVEL,
                 cfg.FPN.ROI_CANONICAL_SCALE, cfg.FPN.ROI_CANONICAL_LEVEL,
             )
+            roi_feat_maps = {l: feats[l] for l in roi_levels if l in feats}
             roi_feats = multilevel_roi_align(
-                {
-                    l: feats[l]
-                    for l in range(cfg.FPN.ROI_MIN_LEVEL, cfg.FPN.ROI_MAX_LEVEL + 1)
-                    if l in feats
-                },
+                roi_feat_maps,
                 flat_rois,
                 lvls,
                 sampled["valid"].reshape(-1),
@@ -309,11 +302,7 @@ def make_rcnn_train_step(
                 from .mask_keypoint import mask_loss, mask_targets_on_device
 
                 mfeats = multilevel_roi_align(
-                    {
-                        l: feats[l]
-                        for l in range(cfg.FPN.ROI_MIN_LEVEL, cfg.FPN.ROI_MAX_LEVEL + 1)
-                        if l in feats
-                    },
+                    roi_feat_maps,
                     flat_rois, lvls, sampled["is_fg"].reshape(-1),
                     cfg.MRCNN.ROI_XFORM_RESOLUTION,
                     cfg.MRCNN.ROI_XFORM_SAMPLING_RATIO,
@@ -346,11 +335,7 @@ def make_rcnn_train_step(
                 from .mask_keypoint import keypoint_loss, keypoint_targets_on_device
 
                 kfeats = multilevel_roi_align(
-                    {
-                        l: feats[l]
-                        for l in range(cfg.FPN.ROI_MIN_LEVEL, cfg.FPN.ROI_MAX_LEVEL + 1)
-                        if l in feats
-                    },
+                    roi_feat_maps,
                     flat_rois, lvls, sampled["is_fg"].reshape(-1),
                     cfg.KRCNN.ROI_XFORM_RESOLUTION,
                     cfg.KRCNN.ROI_XFORM_SAMPLING_RATIO,
