@@ -53,6 +53,10 @@ class TrainConfig:
     BG_THRESH_HI: float = 0.5
     BG_THRESH_LO: float = 0.0
     FG_FRACTION: float = 0.25
+    # Online hard example mining for the box head (ref: config.py:195-197,
+    # R-FCN-style BoxAnnotatorOHEM selection)
+    OHEM: bool = False
+    OHEM_ROI_PER_IMG: int = 128
     RPN_BATCH_SIZE_PER_IM: int = 256
     RPN_FG_FRACTION: float = 0.5
     RPN_POSITIVE_OVERLAP: float = 0.7

@@ -88,6 +88,25 @@ def make_rcnn_inference_fn(cfg: Config, model) -> Callable:
             im_hw,
             im_scale,
         )
+        if (cfg.MODEL.MASK_ON or cfg.MODEL.KEYPOINTS_ON) and not cfg.FPN.FPN_ON:
+            # single-scale (C4) cascaded mask inference: re-run the res5
+            # mask head on the kept boxes (ref: mask_rcnn_heads.py:173-196,
+            # "inference is cascaded")
+            b, k = dets["boxes"].shape[:2]
+            net_boxes = dets["boxes"] * im_scale[:, None, None]
+            batch_col = jnp.repeat(
+                jnp.arange(b, dtype=jnp.float32), k
+            )[:, None]
+            flat = jnp.concatenate([batch_col, net_boxes.reshape(-1, 4)], axis=1)
+            if cfg.MODEL.MASK_ON:
+                logits = model.apply(
+                    {"params": params}, out["features"], flat,
+                    method="mask_heads",
+                )
+                dets["mask_prob"] = jax.nn.sigmoid(logits).reshape(
+                    (b, k) + logits.shape[1:]
+                )
+            return dets
         if cfg.MODEL.MASK_ON or cfg.MODEL.KEYPOINTS_ON:
             from sad_tpu.ops.proposals import (
                 map_rois_to_fpn_levels,

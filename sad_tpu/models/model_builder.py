@@ -61,7 +61,7 @@ def init_model_params(model, rng: jax.Array, image_shape) -> Any:
     if isinstance(model, GeneralizedRCNN):
         return model.init(rng, dummy, im_hw, method="init_all")["params"]
     if isinstance(model, SingleScaleRCNN):
-        return model.init(rng, dummy, im_hw)["params"]
+        return model.init(rng, dummy, im_hw, method="init_all")["params"]
     return model.init(rng, dummy)["params"]
 
 

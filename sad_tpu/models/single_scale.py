@@ -90,14 +90,18 @@ class RFCNHead(nn.Module):
 
 class ResNetRoIConv5Head(nn.Module):
     """res5 stage applied per RoI + average pool (ref: ResNet.py
-    add_ResNet_roi_conv5_head): the C4 Faster R-CNN box head."""
+    add_ResNet_roi_conv5_head): the C4 Faster R-CNN box head.
+
+    With return_spatial=True the pre-pool (R, res/2, res/2, 2048) res5
+    feature map is also returned — the v0upshare mask head reuses it at
+    training time (ref: mask_rcnn_heads.py:173-213 SampleAs sharing)."""
 
     arch: Any
     resolution: int = 14
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, roi_feats: jnp.ndarray):  # (R, res, res, 1024*ratio)
+    def __call__(self, roi_feats: jnp.ndarray, return_spatial: bool = False):
         from .resnet import Bottleneck
 
         a = self.arch
@@ -119,7 +123,37 @@ class ResNetRoIConv5Head(nn.Module):
                 stride_1x1=a.stride_1x1,
                 dtype=self.dtype,
             )(x)
-        return x.mean(axis=(1, 2))  # global average pool (res5_pool)
+        pooled = x.mean(axis=(1, 2))  # global average pool (res5_pool)
+        if return_spatial:
+            return pooled, x
+        return pooled
+
+
+class MaskV0UpOutput(nn.Module):
+    """The v0up/v0upshare mask output stack on res5 RoI features:
+    ConvTranspose 2x2/2 'conv5_mask' + relu, then the 1x1 per-class mask
+    logits conv (ref: mask_rcnn_heads.py:46-90 add_mask_rcnn_outputs and
+    173-240 v0upshare/v0up)."""
+
+    dim_reduced: int
+    num_classes: int
+    cls_specific: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, res5_feats: jnp.ndarray):  # (R, r, r, 2048)
+        gauss = nn.initializers.normal(0.001)
+        x = nn.relu(
+            nn.ConvTranspose(
+                self.dim_reduced, (2, 2), strides=(2, 2), dtype=self.dtype,
+                param_dtype=jnp.float32, kernel_init=gauss, name="conv5_mask",
+            )(res5_feats.astype(self.dtype))
+        )
+        out_dim = self.num_classes if self.cls_specific else 1
+        return _conv(
+            "mask_fcn_logits", out_dim, 1, 1, use_bias=True,
+            dtype=self.dtype, kernel_init=gauss,
+        )(x).astype(jnp.float32)
 
 
 class SingleScaleRCNN(nn.Module):
@@ -167,6 +201,27 @@ class SingleScaleRCNN(nn.Module):
                 4 * cfg.MODEL.NUM_CLASSES, dtype=dtype, param_dtype=jnp.float32,
                 kernel_init=nn.initializers.normal(0.001), name="bbox_pred",
             )
+            if cfg.MODEL.MASK_ON:
+                # C4 mask heads (ref: mask_rcnn_heads.py:173-240):
+                # v0upshare reuses the box head's res5 weights/computation,
+                # v0up owns a separate '_[mask]_res5' stage.
+                self.mask_share_res5 = "v0upshare" in cfg.MRCNN.ROI_MASK_HEAD
+                if self.mask_share_res5:
+                    assert (
+                        cfg.MRCNN.ROI_XFORM_RESOLUTION
+                        == cfg.FAST_RCNN.ROI_XFORM_RESOLUTION
+                    ), "v0upshare requires matching box/mask RoI resolutions"
+                else:
+                    from .arch import arch_from_config
+
+                    self.mask_res5 = ResNetRoIConv5Head(
+                        arch_from_config(cfg), cfg.MRCNN.ROI_XFORM_RESOLUTION,
+                        dtype=dtype, name="mask_res5",
+                    )
+                self.mask_out = MaskV0UpOutput(
+                    cfg.MRCNN.DIM_REDUCED, cfg.MODEL.NUM_CLASSES,
+                    cfg.MRCNN.CLS_SPECIFIC_MASK, dtype=dtype, name="mask_out",
+                )
         else:
             self.fc6 = nn.Dense(4096, dtype=dtype, param_dtype=jnp.float32,
                                 name="fc6")
@@ -188,8 +243,13 @@ class SingleScaleRCNN(nn.Module):
     def rpn_forward(self, feat):
         return self.rpn(feat)
 
-    def box_forward(self, feat, rois5):
-        """RoI transform + box head -> (cls_score, bbox_pred)."""
+    def box_forward(self, feat, rois5, return_res5: bool = False):
+        """RoI transform + box head -> (cls_score, bbox_pred).
+
+        return_res5=True additionally returns the spatial res5 RoI features
+        so the v0upshare mask head can reuse them (the reference shares the
+        computation via SampleAs at training time; here we keep all sampled
+        rois — static shapes — and the loss masks to fg)."""
         from sad_tpu.ops.detectron_ops import roi_align
 
         cfg = self.cfg_static
@@ -200,16 +260,56 @@ class SingleScaleRCNN(nn.Module):
             cfg.FAST_RCNN.ROI_XFORM_RESOLUTION,
             cfg.FAST_RCNN.ROI_XFORM_SAMPLING_RATIO,
         )
+        res5_spatial = None
         if hasattr(self, "res5_head"):
-            x = self.res5_head(pooled)
+            if return_res5:
+                x, res5_spatial = self.res5_head(pooled, return_spatial=True)
+            else:
+                x = self.res5_head(pooled)
         else:
             x = pooled.reshape(pooled.shape[0], -1)
             x = nn.relu(self.fc6(x))
             x = nn.relu(self.fc7(x))
-        return (
+        out = (
             self.cls_score(x).astype(jnp.float32),
             self.bbox_pred(x).astype(jnp.float32),
         )
+        if return_res5:
+            return out + (res5_spatial,)
+        return out
+
+    def mask_heads(self, feat, rois5):
+        """Cascaded mask path (test time for both variants; train time for
+        v0up): RoIAlign at MRCNN resolution -> res5 stage (the box head's
+        for v0upshare, a dedicated one for v0up) -> deconv + logits
+        (ref: mask_rcnn_heads.py:173-240)."""
+        from sad_tpu.ops.detectron_ops import roi_align
+
+        cfg = self.cfg_static
+        pooled = roi_align(
+            feat, rois5, 1.0 / float(cfg.RPN.STRIDE),
+            cfg.MRCNN.ROI_XFORM_RESOLUTION,
+            cfg.MRCNN.ROI_XFORM_SAMPLING_RATIO,
+        )
+        res5 = self.res5_head if self.mask_share_res5 else self.mask_res5
+        _, spatial = res5(pooled, return_spatial=True)
+        return self.mask_out(spatial)
+
+    def mask_from_res5(self, res5_spatial):
+        """v0upshare training path: mask logits from the box branch's res5
+        RoI features (shared computation, ref: mask_rcnn_heads.py:185-196)."""
+        return self.mask_out(res5_spatial)
+
+    def init_all(self, images: jnp.ndarray, im_hw: jnp.ndarray):
+        """Forward pass touching every head (mask included) so flax.init
+        materializes all params."""
+        out = self.__call__(images, im_hw)
+        if self.cfg_static.MODEL.MASK_ON and hasattr(self, "mask_out"):
+            b, r = out["rois"].shape[:2]
+            col = jnp.repeat(jnp.arange(b, dtype=jnp.float32), r)[:, None]
+            rois5 = jnp.concatenate([col, out["rois"].reshape(-1, 4)], axis=1)
+            out["mask_logits"] = self.mask_heads(out["features"], rois5)
+        return out
 
     def _trunk(self, images):
         out = self.body(images)
@@ -271,6 +371,7 @@ class SingleScaleRCNN(nn.Module):
 
         c = cls_score.shape[-1]
         return {
+            "features": feat,
             "rois": boxes,
             "roi_scores": scores,
             "roi_valid": valid,

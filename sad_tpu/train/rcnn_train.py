@@ -94,15 +94,56 @@ def rpn_losses(cfg: Config, logits, deltas, batch, n_groups: int):
 
 
 def fast_rcnn_losses(cfg: Config, cls_score, labels, bbox_pred, bbox_targets,
-                     inside_w, outside_w, valid, n_groups: int):
+                     inside_w, outside_w, valid, n_groups: int,
+                     n_images: int = 0):
     """Box-head losses (fast_rcnn_heads.py add_fast_rcnn_losses):
-    SoftmaxWithLoss (mean over RoIs) + SmoothL1Loss."""
+    SoftmaxWithLoss (mean over RoIs) + SmoothL1Loss.
+
+    With cfg.TRAIN.OHEM (fast_rcnn_heads.py:70-109): per-RoI cls+bbox losses
+    rank the RoIs per image, only the hardest TRAIN.OHEM_ROI_PER_IMG keep a
+    weight of 1, and the reduced losses use those weights (TPU-static: 0/1
+    weights instead of the reference's label surgery)."""
     loss_scale = 1.0 / n_groups
     logp = jax.nn.log_softmax(cls_score.astype(jnp.float32), axis=-1)
     t = jnp.maximum(labels, 0)
     nll = -jnp.take_along_axis(logp, t[:, None], axis=-1)[:, 0]
-    nll = jnp.where(valid & (labels >= 0), nll, 0.0)
-    n_valid = jnp.maximum(jnp.sum((valid & (labels >= 0)).astype(jnp.float32)), 1.0)
+    live = valid & (labels >= 0)
+    nll = jnp.where(live, nll, 0.0)
+
+    if cfg.TRAIN.OHEM and n_images:
+        from sad_tpu.ops.detectron_ops import smooth_l1_loss_per_roi
+
+        per_box = smooth_l1_loss_per_roi(
+            bbox_pred, bbox_targets, inside_w, outside_w
+        )
+        per_total = jnp.where(live, nll + per_box, -1.0)  # padding ranks last
+        k = min(cfg.TRAIN.OHEM_ROI_PER_IMG, per_total.size // n_images)
+
+        def keep_one(row):
+            thresh = jax.lax.top_k(row, k)[0][-1]
+            rank = jnp.argsort(jnp.argsort(-row))
+            return ((row >= thresh) & (rank < k)).astype(jnp.float32)
+
+        keep = jax.vmap(keep_one)(
+            per_total.reshape(n_images, -1)
+        ).reshape(-1)
+        keep = keep * live.astype(jnp.float32)
+        n_keep = jnp.maximum(jnp.sum(keep), 1.0)
+        cls_loss = loss_scale * jnp.sum(nll * keep, dtype=jnp.float32) / n_keep
+        bbox_loss = smooth_l1_loss(
+            bbox_pred, bbox_targets, inside_w, outside_w * keep[:, None],
+            beta=1.0, scale=loss_scale,
+        )
+        accuracy = jnp.sum(
+            ((jnp.argmax(cls_score, -1) == labels) & valid).astype(jnp.float32)
+        ) / jnp.maximum(jnp.sum(live.astype(jnp.float32)), 1.0)
+        return cls_loss + bbox_loss, {
+            "loss_cls": cls_loss,
+            "loss_bbox": bbox_loss,
+            "accuracy_cls": accuracy,
+        }
+
+    n_valid = jnp.maximum(jnp.sum(live.astype(jnp.float32)), 1.0)
     cls_loss = loss_scale * jnp.sum(nll, dtype=jnp.float32) / n_valid
 
     bbox_loss = smooth_l1_loss(
@@ -255,9 +296,23 @@ def make_rcnn_train_step(
                 [batch_col, sampled["rois"].reshape(-1, 4)], axis=1
             )
             if not is_fpn:
-                cls_score, bbox_pred = model.apply(
-                    {"params": params}, feat, flat_rois, method="box_forward"
+                ss_mask_on = (
+                    cfg.MODEL.MASK_ON and cfg.MODEL.TYPE != "rfcn"
+                    and "gt_mask_rasters" in batch
                 )
+                ss_share = ss_mask_on and "v0upshare" in cfg.MRCNN.ROI_MASK_HEAD
+                if ss_share:
+                    # v0upshare: reuse the box branch's res5 RoI features for
+                    # the mask head (ref: mask_rcnn_heads.py:173-213)
+                    cls_score, bbox_pred, res5_sp = model.apply(
+                        {"params": params}, feat, flat_rois, True,
+                        method="box_forward",
+                    )
+                else:
+                    cls_score, bbox_pred = model.apply(
+                        {"params": params}, feat, flat_rois,
+                        method="box_forward",
+                    )
                 r_rois = cls_score.shape[0]
                 if cfg.MODEL.TYPE == "rfcn":
                     # R-FCN bbox head is cls-agnostic (R, 8): [bg 4, fg 4]
@@ -270,10 +325,46 @@ def make_rcnn_train_step(
                 box_total, box_metrics = fast_rcnn_losses(
                     cfg, cls_score, sampled["labels"].reshape(-1),
                     bbox_pred, tgt, in_w, out_w,
-                    sampled["valid"].reshape(-1), G,
+                    sampled["valid"].reshape(-1), G, n_images=b,
                 )
                 total = total + box_total
                 metrics.update(box_metrics)
+                if ss_mask_on:
+                    # C4 mask heads (v0upshare shares the box res5; v0up
+                    # recomputes its own res5 on the mask RoIs)
+                    from .mask_keypoint import mask_loss, mask_targets_on_device
+
+                    if ss_share:
+                        mlogits = model.apply(
+                            {"params": params}, res5_sp,
+                            method="mask_from_res5",
+                        )
+                    else:
+                        mlogits = model.apply(
+                            {"params": params}, feat, flat_rois,
+                            method="mask_heads",
+                        )
+                    m_res = mlogits.shape[1]
+
+                    def ss_mask_tgt(i):
+                        return mask_targets_on_device(
+                            batch["gt_mask_rasters"][i],
+                            sampled["rois"][i],
+                            sampled["matched_gt"][i],
+                            m_res,
+                            batch["gt_mask_stride"],
+                        )
+
+                    mtargets = jax.vmap(ss_mask_tgt)(jnp.arange(b)).reshape(
+                        (-1, m_res, m_res)
+                    )
+                    ml = mask_loss(
+                        cfg, mlogits, mtargets,
+                        sampled["labels"].reshape(-1),
+                        sampled["is_fg"].reshape(-1), G,
+                    )
+                    total = total + ml
+                    metrics["loss_mask"] = ml
                 metrics["loss"] = total
                 return total, metrics
             from sad_tpu.ops.proposals import map_rois_to_fpn_levels
@@ -372,6 +463,7 @@ def make_rcnn_train_step(
                 sampled["bbox_outside_weights"].reshape(cls_score.shape[0], -1),
                 sampled["valid"].reshape(-1),
                 G,
+                n_images=b,
             )
             total = total + box_total + aux_total
             metrics.update(box_metrics)
