@@ -154,3 +154,69 @@ def make_rcnn_inference_fn(cfg: Config, model) -> Callable:
         return dets
 
     return jax.jit(infer)
+
+
+def make_aux_on_boxes_fn(cfg: Config, model) -> Callable:
+    """Jitted mask/keypoint heads on FIXED boxes — the cascaded
+    im_detect_mask / im_detect_keypoints passes that mask/keypoint TTA
+    re-runs on transformed images (ref: test.py:410-478, 582-665).
+
+    aux(params, images, net_boxes (B,K,4 network-input coords), valid (B,K))
+    -> {'mask_prob': (B,K,m,m,C)?, 'kps_heatmaps': (B,K,m,m,J)?}
+    """
+
+    def aux(params, images, net_boxes, valid):
+        b, k = net_boxes.shape[:2]
+        batch_col = jnp.repeat(jnp.arange(b, dtype=jnp.float32), k)[:, None]
+        flat = jnp.concatenate([batch_col, net_boxes.reshape(-1, 4)], axis=1)
+        out = {}
+        feats = model.apply({"params": params}, images, method="backbone")
+        if cfg.FPN.FPN_ON:
+            from sad_tpu.ops.proposals import (
+                map_rois_to_fpn_levels,
+                multilevel_roi_align,
+            )
+
+            lvls = jax.vmap(
+                lambda bx: map_rois_to_fpn_levels(
+                    bx, cfg.FPN.ROI_MIN_LEVEL, cfg.FPN.ROI_MAX_LEVEL,
+                    cfg.FPN.ROI_CANONICAL_SCALE, cfg.FPN.ROI_CANONICAL_LEVEL,
+                )
+            )(net_boxes).reshape(-1)
+            fd = {
+                l: feats[l]
+                for l in range(cfg.FPN.ROI_MIN_LEVEL, cfg.FPN.ROI_MAX_LEVEL + 1)
+                if l in feats
+            }
+            if cfg.MODEL.MASK_ON:
+                mf = multilevel_roi_align(
+                    fd, flat, lvls, valid.reshape(-1),
+                    cfg.MRCNN.ROI_XFORM_RESOLUTION,
+                    cfg.MRCNN.ROI_XFORM_SAMPLING_RATIO,
+                )
+                logits = model.apply(
+                    {"params": params}, mf, method="mask_heads"
+                )
+                out["mask_prob"] = jax.nn.sigmoid(logits).reshape(
+                    (b, k) + logits.shape[1:]
+                )
+            if cfg.MODEL.KEYPOINTS_ON:
+                kf = multilevel_roi_align(
+                    fd, flat, lvls, valid.reshape(-1),
+                    cfg.KRCNN.ROI_XFORM_RESOLUTION,
+                    cfg.KRCNN.ROI_XFORM_SAMPLING_RATIO,
+                )
+                hm = model.apply(
+                    {"params": params}, kf, method="keypoint_heads"
+                )
+                out["kps_heatmaps"] = hm.reshape((b, k) + hm.shape[1:])
+        elif cfg.MODEL.MASK_ON:
+            logits = model.apply(
+                {"params": params}, feats, flat, method="mask_heads"
+            )
+            out["mask_prob"] = jax.nn.sigmoid(logits).reshape(
+                (b, k) + logits.shape[1:]
+            )
+        return out
+
+    return jax.jit(aux)

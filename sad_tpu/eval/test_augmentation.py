@@ -177,3 +177,69 @@ def merge_aug_detections(
         "classes": np.concatenate(classes),
         "valid": np.concatenate(valid),
     }
+
+
+def aux_aug_transforms(aug, cfg: Config) -> List[Dict]:
+    """Enumerate mask/keypoint TTA transforms (ref: test.py
+    im_detect_mask_aug:410-478 / im_detect_keypoints_aug:582-665; the
+    identity pass is the base inference and not listed).
+
+    Aspect-ratio transforms and size-dependent combining are not supported
+    (static TPU canvases; the reference itself asserts SCALE_SIZE_DEP out).
+    """
+    if aug.SCALE_SIZE_DEP:
+        raise NotImplementedError("Size dependent scaling not implemented")
+    if aug.ASPECT_RATIOS:
+        raise NotImplementedError(
+            "aspect-ratio TTA not supported on static canvases"
+        )
+    t: List[Dict] = []
+    if aug.H_FLIP:
+        t.append({"scale": cfg.TEST.SCALES[0], "max_size": cfg.TEST.MAX_SIZE,
+                  "hflip": True})
+    for s in aug.SCALES:
+        t.append({"scale": s, "max_size": aug.MAX_SIZE, "hflip": False})
+        if aug.SCALE_H_FLIP:
+            t.append({"scale": s, "max_size": aug.MAX_SIZE, "hflip": True})
+    return t
+
+
+def combine_soft_masks(stack: List[np.ndarray], heur: str) -> np.ndarray:
+    """Combine per-transform soft masks (ref: test.py:461-478):
+    SOFT_AVG / SOFT_MAX / LOGIT_AVG."""
+    a = np.stack(stack)
+    if heur == "SOFT_AVG":
+        return a.mean(axis=0)
+    if heur == "SOFT_MAX":
+        return a.max(axis=0)
+    if heur == "LOGIT_AVG":
+        logit = -np.log((1.0 - a) / np.maximum(a, 1e-20))
+        return 1.0 / (1.0 + np.exp(-logit.mean(axis=0)))
+    raise NotImplementedError(f"Heuristic {heur} not supported")
+
+
+def combine_heatmaps(stack: List[np.ndarray], heur: str) -> np.ndarray:
+    """Combine per-transform keypoint heatmaps (ref: test.py:644-651):
+    HM_AVG / HM_MAX."""
+    a = np.stack(stack)
+    if heur == "HM_AVG":
+        return a.mean(axis=0)
+    if heur == "HM_MAX":
+        return a.max(axis=0)
+    raise NotImplementedError(f"Heuristic {heur} not supported")
+
+
+def flip_mask_probs(mask_prob: np.ndarray) -> np.ndarray:
+    """Invert h-flipped soft masks (ref: test.py:481-495): masks are
+    (..., H, W, C) in the RoI frame; un-flip the width axis."""
+    return mask_prob[..., :, ::-1, :]
+
+
+def flip_heatmaps(heatmaps: np.ndarray) -> np.ndarray:
+    """Invert h-flipped keypoint heatmaps (ref: keypoints.py flip_heatmaps):
+    un-flip the width axis and swap left/right keypoint channels.
+    Layout (..., H, W, J)."""
+    from sad_tpu.utils.keypoints import flip_keypoint_channels
+
+    idx = flip_keypoint_channels()
+    return heatmaps[..., :, ::-1, :][..., idx]

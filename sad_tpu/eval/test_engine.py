@@ -53,7 +53,18 @@ def _test_canvas_shapes(cfg: Config):
     return (short, long), (long, short)
 
 
-def prepare_test_batch(cfg: Config, entries: List[dict], canvas) -> Dict:
+def prepare_test_batch(
+    cfg: Config,
+    entries: List[dict],
+    canvas,
+    target_scale: int = 0,
+    target_max_size: int = 0,
+    hflip: bool = False,
+) -> Dict:
+    """Images on the static canvas. target_scale/max_size override
+    TEST.SCALES[0]/MAX_SIZE for TTA passes (clamped so the content still
+    fits the canvas); hflip mirrors the CONTENT (not the canvas), so net
+    coords stay within the im_hw extent."""
     ch, cw = canvas
     n = len(entries)
     data = np.zeros((n, ch, cw, 3), np.float32)
@@ -62,9 +73,14 @@ def prepare_test_batch(cfg: Config, entries: List[dict], canvas) -> Dict:
     for i, e in enumerate(entries):
         im_bgr = load_image_bgr(e["image"], False)
         scale = compute_im_scale(
-            e["height"], e["width"], cfg.TEST.SCALES[0], cfg.TEST.MAX_SIZE
+            e["height"], e["width"],
+            target_scale or cfg.TEST.SCALES[0],
+            target_max_size or cfg.TEST.MAX_SIZE,
         )
+        scale = min(scale, ch / float(e["height"]), cw / float(e["width"]))
         im = prep_image(im_bgr, scale, cfg.PIXEL_MEANS, cfg.PIXEL_DIV, cfg.PIXEL_STD)
+        if hflip:
+            im = im[:, ::-1]
         h, w = im.shape[:2]
         data[i, :h, :w] = im
         im_hw[i] = (e["height"], e["width"])
@@ -94,8 +110,52 @@ def run_inference_on_roidb(
     contiguous_to_json: Dict[int, int],
     batch_size: int = 8,
 ) -> List[Dict]:
-    """Returns COCO-format detection dicts for every image."""
+    """Returns COCO-format detection dicts for every image.
+
+    Test-time augmentation (ref: test.py im_detect_bbox_aug:195-276,
+    im_detect_mask_aug:410-478, im_detect_keypoints_aug:582-665): with
+    TEST.BBOX_AUG.ENABLED the box pass runs once per transform, candidates
+    are UNION-merged per image and re-NMSed on the host; with
+    TEST.MASK_AUG/KPS_AUG.ENABLED the mask/keypoint heads re-run per
+    transform on the final boxes and the soft outputs are combined by the
+    configured heuristic."""
     infer = _make_infer_fn(cfg, model)
+    is_rcnn = cfg.MODEL.TYPE == "generalized_rcnn"
+    bbox_aug = cfg.TEST.BBOX_AUG.ENABLED and is_rcnn
+    mask_aug = cfg.MODEL.MASK_ON and cfg.TEST.MASK_AUG.ENABLED and is_rcnn
+    kps_aug = (
+        cfg.MODEL.KEYPOINTS_ON and cfg.TEST.KPS_AUG.ENABLED
+        and is_rcnn and cfg.FPN.FPN_ON
+    )
+    aux_fn = None
+    if bbox_aug or mask_aug or kps_aug:
+        from .test_augmentation import (
+            aux_aug_transforms,
+            bbox_aug_transforms,
+            combine_heatmaps,
+            combine_soft_masks,
+            flip_heatmaps,
+            flip_mask_probs,
+            merge_aug_detections,
+            postprocess_detections,
+        )
+
+        if cfg.MODEL.MASK_ON or cfg.MODEL.KEYPOINTS_ON:
+            from .rcnn_inference import make_aux_on_boxes_fn
+
+            aux_fn = make_aux_on_boxes_fn(cfg, model)
+
+    def _flip_boxes_imframe(bx, entries_):
+        """flip_boxes in image coords (ref: boxes.py flip_boxes)."""
+        out_ = bx.copy()
+        for j_, e_ in enumerate(entries_):
+            w_ = float(e_["width"])
+            x1 = bx[j_, :, 0].copy()
+            x2 = bx[j_, :, 2].copy()
+            out_[j_, :, 0] = w_ - x2 - 1.0
+            out_[j_, :, 2] = w_ - x1 - 1.0
+        return out_
+
     land, port = _test_canvas_shapes(cfg)
     groups = {"l": [], "p": []}
     for e in roidb:
@@ -130,6 +190,116 @@ def run_inference_on_roidb(
             kps_heatmaps = (
                 np.asarray(out["kps_heatmaps"]) if "kps_heatmaps" in out else None
             )
+            if bbox_aug:
+                # extra box passes, one per transform (base pass is index 0)
+                t_list = bbox_aug_transforms(cfg)
+                outs_t = [
+                    {"boxes": boxes, "scores": scores,
+                     "classes": classes, "valid": valid}
+                ]
+                flips = [bool(t_list[0]["hflip"])]
+                for t in t_list[1:]:
+                    if t.get("aspect_ratio", 1.0) != 1.0:
+                        raise NotImplementedError(
+                            "aspect-ratio TTA not supported on static canvases"
+                        )
+                    host_t = prepare_test_batch(
+                        cfg, batch_entries, canvas,
+                        int(t["scale"]), int(t["max_size"]), t["hflip"],
+                    )
+                    o = infer(
+                        params,
+                        jnp.asarray(host_t["data"]),
+                        jnp.asarray(host_t["im_hw"]),
+                        jnp.asarray(host_t["im_scale"]),
+                    )
+                    outs_t.append(
+                        {kk: np.asarray(o[kk])
+                         for kk in ("boxes", "scores", "classes", "valid")}
+                    )
+                    flips.append(bool(t["hflip"]))
+                kmax = boxes.shape[1]
+                nb = np.zeros_like(boxes)
+                ns = np.zeros_like(scores)
+                nc = np.zeros_like(classes)
+                nv = np.zeros(valid.shape, bool)
+                for j, e in enumerate(chunk):
+                    per = [
+                        {"boxes": o["boxes"][j], "scores": o["scores"][j],
+                         "classes": o["classes"][j],
+                         "valid": o["valid"][j].astype(bool)}
+                        for o in outs_t
+                    ]
+                    merged = merge_aug_detections(
+                        per, im_w=float(e["width"]), flipped_flags=flips
+                    )
+                    fb, fs, fc = postprocess_detections(
+                        cfg, merged["boxes"], merged["scores"],
+                        merged["classes"], merged["valid"].astype(bool),
+                        cfg.MODEL.NUM_CLASSES,
+                    )
+                    m = min(len(fs), kmax)
+                    order = np.argsort(-fs)[:m]
+                    nb[j, :m] = fb[order]
+                    ns[j, :m] = fs[order]
+                    nc[j, :m] = fc[order]
+                    nv[j, :m] = True
+                boxes, scores, classes, valid = nb, ns, nc, nv
+                if aux_fn is not None:
+                    # masks/keypoints must follow the MERGED boxes
+                    net = jnp.asarray(
+                        boxes * host["im_scale"][:, None, None], jnp.float32
+                    )
+                    aux0 = aux_fn(
+                        params, jnp.asarray(host["data"]), net,
+                        jnp.asarray(valid),
+                    )
+                    if "mask_prob" in aux0:
+                        mask_prob = np.asarray(aux0["mask_prob"])
+                    if "kps_heatmaps" in aux0:
+                        kps_heatmaps = np.asarray(aux0["kps_heatmaps"])
+            if mask_aug and mask_prob is not None:
+                stacks = [mask_prob]
+                for t in aux_aug_transforms(cfg.TEST.MASK_AUG, cfg):
+                    host_t = prepare_test_batch(
+                        cfg, batch_entries, canvas,
+                        int(t["scale"]), int(t["max_size"]), t["hflip"],
+                    )
+                    bx = (
+                        _flip_boxes_imframe(boxes, batch_entries)
+                        if t["hflip"] else boxes
+                    )
+                    net = jnp.asarray(
+                        bx * host_t["im_scale"][:, None, None], jnp.float32
+                    )
+                    o = aux_fn(
+                        params, jnp.asarray(host_t["data"]), net,
+                        jnp.asarray(valid),
+                    )
+                    mp = np.asarray(o["mask_prob"])
+                    stacks.append(flip_mask_probs(mp) if t["hflip"] else mp)
+                mask_prob = combine_soft_masks(stacks, cfg.TEST.MASK_AUG.HEUR)
+            if kps_aug and kps_heatmaps is not None:
+                stacks = [kps_heatmaps]
+                for t in aux_aug_transforms(cfg.TEST.KPS_AUG, cfg):
+                    host_t = prepare_test_batch(
+                        cfg, batch_entries, canvas,
+                        int(t["scale"]), int(t["max_size"]), t["hflip"],
+                    )
+                    bx = (
+                        _flip_boxes_imframe(boxes, batch_entries)
+                        if t["hflip"] else boxes
+                    )
+                    net = jnp.asarray(
+                        bx * host_t["im_scale"][:, None, None], jnp.float32
+                    )
+                    o = aux_fn(
+                        params, jnp.asarray(host_t["data"]), net,
+                        jnp.asarray(valid),
+                    )
+                    hm = np.asarray(o["kps_heatmaps"])
+                    stacks.append(flip_heatmaps(hm) if t["hflip"] else hm)
+                kps_heatmaps = combine_heatmaps(stacks, cfg.TEST.KPS_AUG.HEUR)
             timer.toc()
             for j, e in enumerate(chunk):
                 for k, (b, s, c, v) in enumerate(

@@ -228,3 +228,127 @@ class TestSegms:
     def test_flip_polys(self):
         flipped = segms.flip_polys([[0, 0, 10, 5]], width=100)
         np.testing.assert_allclose(flipped[0], [99, 0, 89, 5])
+
+
+class TestAuxAugHelpers:
+    def test_combine_soft_masks_heuristics(self):
+        from sad_tpu.eval.test_augmentation import combine_soft_masks
+
+        a = np.full((2, 3, 3, 1), 0.2, np.float32)
+        b = np.full((2, 3, 3, 1), 0.6, np.float32)
+        np.testing.assert_allclose(
+            combine_soft_masks([a, b], "SOFT_AVG"), 0.4, rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            combine_soft_masks([a, b], "SOFT_MAX"), 0.6, rtol=1e-5
+        )
+        out = combine_soft_masks([a, b], "LOGIT_AVG")
+        # logit mean of (0.2, 0.6) -> sigmoid((logit(.2)+logit(.6))/2)
+        expect = 1 / (1 + np.exp(-(np.log(0.25) + np.log(1.5)) / 2))
+        np.testing.assert_allclose(out, expect, rtol=1e-4)
+        with pytest.raises(NotImplementedError):
+            combine_soft_masks([a], "BOGUS")
+
+    def test_combine_heatmaps(self):
+        from sad_tpu.eval.test_augmentation import combine_heatmaps
+
+        a = np.zeros((1, 2, 2, 3), np.float32)
+        b = np.ones((1, 2, 2, 3), np.float32)
+        np.testing.assert_allclose(combine_heatmaps([a, b], "HM_AVG"), 0.5)
+        np.testing.assert_allclose(combine_heatmaps([a, b], "HM_MAX"), 1.0)
+
+    def test_flip_heatmaps_swaps_channels_and_width(self):
+        from sad_tpu.eval.test_augmentation import flip_heatmaps
+        from sad_tpu.utils.keypoints import COCO_KEYPOINTS
+
+        j = len(COCO_KEYPOINTS)
+        hm = np.zeros((1, 1, 4, 4, j), np.float32)
+        li = COCO_KEYPOINTS.index("left_eye")
+        ri = COCO_KEYPOINTS.index("right_eye")
+        hm[0, 0, 1, 0, li] = 1.0  # left_eye at x=0
+        out = flip_heatmaps(hm)
+        assert out[0, 0, 1, 3, ri] == 1.0  # right_eye at x=3
+        assert out[0, 0, 1, 0, ri] == 0.0
+
+    def test_flip_mask_probs(self):
+        from sad_tpu.eval.test_augmentation import flip_mask_probs
+
+        m = np.zeros((1, 1, 2, 3, 2), np.float32)
+        m[0, 0, 0, 0, 1] = 1.0
+        out = flip_mask_probs(m)
+        assert out[0, 0, 0, 2, 1] == 1.0
+
+    def test_aux_aug_transforms_enumeration(self):
+        from sad_tpu.eval.test_augmentation import aux_aug_transforms
+
+        cfg = merge_cfg_from_dict(
+            Config(),
+            {"TEST": {"SCALES": (100,), "MAX_SIZE": 200,
+                      "MASK_AUG": {"ENABLED": True, "H_FLIP": True,
+                                   "SCALES": (80,), "SCALE_H_FLIP": True}}},
+        )
+        t = aux_aug_transforms(cfg.TEST.MASK_AUG, cfg)
+        assert len(t) == 3  # hflip, scale, scale+hflip
+        assert t[0]["hflip"] and t[0]["scale"] == 100
+        assert not t[1]["hflip"] and t[1]["scale"] == 80
+        assert t[2]["hflip"] and t[2]["scale"] == 80
+        cfg2 = merge_cfg_from_dict(
+            Config(), {"TEST": {"MASK_AUG": {"ASPECT_RATIOS": (0.75,)}}}
+        )
+        with pytest.raises(NotImplementedError):
+            aux_aug_transforms(cfg2.TEST.MASK_AUG, cfg2)
+
+
+class TestEngineTTA:
+    """run_inference_on_roidb with bbox + mask TTA enabled (ref: test.py
+    im_detect_bbox_aug/im_detect_mask_aug wiring)."""
+
+    def test_tta_end_to_end(self, tmp_path):
+        import dataclasses as dc
+
+        import jax
+        import jax.numpy as jnp
+        from PIL import Image
+
+        from sad_tpu.eval.test_engine import run_inference_on_roidb
+        from sad_tpu.models import create_model
+        from sad_tpu.models.model_builder import init_model_params
+        from tests.test_rcnn import rcnn_cfg
+
+        cfg = rcnn_cfg(mask=True)
+        cfg = dc.replace(
+            cfg,
+            RESNETS=dc.replace(cfg.RESNETS, CHANNEL_RATIO=0.0625),
+            TEST=dc.replace(
+                cfg.TEST,
+                SCALES=(48,), MAX_SIZE=64, SCORE_THRESH=0.0,
+                DETECTIONS_PER_IM=8,
+                BBOX_AUG=dc.replace(cfg.TEST.BBOX_AUG, ENABLED=True,
+                                    H_FLIP=True),
+                MASK_AUG=dc.replace(cfg.TEST.MASK_AUG, ENABLED=True,
+                                    H_FLIP=True, HEUR="SOFT_AVG"),
+            ),
+        )
+        model = create_model(cfg)
+        params = init_model_params(model, jax.random.PRNGKey(0), (1, 64, 64, 3))
+
+        roidb = []
+        rng = np.random.RandomState(0)
+        for i in range(2):
+            p = tmp_path / f"im{i}.png"
+            Image.fromarray(
+                rng.randint(0, 255, (50, 60, 3), np.uint8)
+            ).save(p)
+            roidb.append(
+                {"id": i + 1, "image": str(p), "height": 50, "width": 60}
+            )
+        dets = run_inference_on_roidb(
+            cfg, model, params, roidb, {i: i for i in range(10)},
+            batch_size=2,
+        )
+        assert isinstance(dets, list)
+        for d in dets:
+            assert "segmentation" in d
+            assert 0.0 <= d["score"] <= 1.0
+            x, y, w, h = d["bbox"]
+            assert w > 0 and h > 0
