@@ -126,8 +126,14 @@ class COCOEvaluator:
     json_dataset_evaluator.py).
     """
 
-    def __init__(self, gt_dataset: Dict, iou_type: str = "bbox"):
+    def __init__(self, gt_dataset: Dict, iou_type: str = "bbox",
+                 area_rngs: Optional[Dict] = None,
+                 max_dets: Optional[Tuple[int, ...]] = None):
         self.iou_type = iou_type
+        # overridable for VID-style protocols (ref: vid_eval.py:507-516,
+        # same structure with a 1e5^2 area cap)
+        self.area_rngs = dict(area_rngs) if area_rngs else dict(AREA_RNGS)
+        self.max_dets = tuple(max_dets) if max_dets else MAX_DETS
         self.cat_ids = sorted(c["id"] for c in gt_dataset.get("categories", []))
         self.img_ids = sorted(im["id"] for im in gt_dataset.get("images", []))
         self._img_hw = {
@@ -233,14 +239,14 @@ class COCOEvaluator:
             dts_by_key[(d["image_id"], d["category_id"])].append(d)
 
         K = len(self.cat_ids)
-        A = len(AREA_RNGS)
-        M = len(MAX_DETS)
+        A = len(self.area_rngs)
+        M = len(self.max_dets)
         T, R = len(IOU_THRS), len(REC_THRS)
         precision = -np.ones((T, R, K, A, M))
         recall = -np.ones((T, K, A, M))
 
-        area_items = list(AREA_RNGS.items())
-        max_md = max(MAX_DETS)
+        area_items = list(self.area_rngs.items())
+        max_md = max(self.max_dets)
         for ki, cat in enumerate(self.cat_ids):
             for ai, (_, rng) in enumerate(area_items):
                 # match once per (img, cat, area) at the largest maxDet; the
@@ -262,7 +268,7 @@ class COCOEvaluator:
                 npig = sum(e["num_gt"] for e in full_evals)
                 if npig == 0:
                     continue
-                for mi, max_det in enumerate(MAX_DETS):
+                for mi, max_det in enumerate(self.max_dets):
                     evals = full_evals
                     scores = np.concatenate(
                         [e["dt_scores"][:max_det] for e in evals]
@@ -297,8 +303,14 @@ class COCOEvaluator:
                         precision[ti, :, ki, ai, mi] = q
 
         def _summ(prec=True, iou=None, area="all", max_det=100):
-            ai = list(AREA_RNGS).index(area)
-            mi = MAX_DETS.index(max_det)
+            ai = (
+                list(self.area_rngs).index(area)
+                if area in self.area_rngs else 0
+            )
+            mi = (
+                self.max_dets.index(max_det)
+                if max_det in self.max_dets else len(self.max_dets) - 1
+            )
             if prec:
                 s = precision[:, :, :, ai, mi]
                 if iou is not None:

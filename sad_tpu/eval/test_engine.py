@@ -369,6 +369,21 @@ def test_net_on_dataset(
         os.makedirs(output_dir, exist_ok=True)
         with open(os.path.join(output_dir, "bbox_results.json"), "w") as f:
             json.dump(dets, f)
+    # evaluator dispatch by dataset name (ref: task_evaluation.py:256-266
+    # _use_cityscapes/_use_voc/_use_vid_evaluator)
+    if "cityscapes_" in name and cfg.MODEL.MASK_ON:
+        from .cityscapes_eval import evaluate_masks as cs_evaluate
+
+        # dets carry json category ids (mapped in run_inference_on_roidb)
+        id_to_name = {c["id"]: c["name"] for c in ds.dataset["categories"]}
+        cs_evaluate(
+            roidb, dets, id_to_name,
+            output_dir or "/tmp/sad_tpu_cityscapes",
+        )
+    if name.startswith("vid"):
+        from .vid_eval import evaluate_vid_detections
+
+        return evaluate_vid_detections(ds.dataset, dets)
     results = COCOEvaluator(ds.dataset).evaluate(dets, verbose=True)
     if cfg.MODEL.MASK_ON and dets and "segmentation" in dets[0]:
         segm = COCOEvaluator(ds.dataset, iou_type="segm").evaluate(

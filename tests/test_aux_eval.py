@@ -352,3 +352,57 @@ class TestEngineTTA:
             assert 0.0 <= d["score"] <= 1.0
             x, y, w, h = d["bbox"]
             assert w > 0 and h > 0
+
+
+class TestCityscapesExport:
+    def test_export_format(self, tmp_path):
+        from sad_tpu.eval.cityscapes_eval import export_cityscapes_results
+        from sad_tpu.utils.segms import mask_to_rle
+
+        m = np.zeros((8, 8), np.uint8)
+        m[2:6, 2:6] = 1
+        roidb = [{"id": 1, "image": "/x/frankfurt_000000_000294.png"}]
+        dets = [
+            {"image_id": 1, "category_id": 1, "score": 0.9,
+             "segmentation": mask_to_rle(m)},
+            {"image_id": 1, "category_id": 99, "score": 0.5,  # unknown class
+             "segmentation": mask_to_rle(m)},
+        ]
+        out = export_cityscapes_results(
+            roidb, dets, {1: "car"}, str(tmp_path)
+        )
+        txt = (tmp_path / "frankfurt_000000_000294pred.txt").read_text()
+        lines = txt.strip().splitlines()
+        assert len(lines) == 1  # unknown class skipped
+        png, label_id, score = lines[0].split()
+        assert label_id == "26" and float(score) == pytest.approx(0.9)
+        from PIL import Image
+
+        arr = np.asarray(Image.open(tmp_path / png))
+        assert arr.max() == 255 and (arr[2:6, 2:6] == 255).all()
+        assert out == str(tmp_path)
+
+
+class TestVIDEval:
+    def test_vid_protocol_matches_coco_on_simple_case(self):
+        from sad_tpu.eval.vid_eval import evaluate_vid_detections
+
+        gt = {
+            "images": [{"id": 1, "height": 100, "width": 100}],
+            "categories": [{"id": 1, "name": "obj"}],
+            "annotations": [
+                {"id": 1, "image_id": 1, "category_id": 1,
+                 "bbox": [10, 10, 20, 20], "area": 400, "iscrowd": 0}
+            ],
+        }
+        dets = [{"image_id": 1, "category_id": 1, "score": 0.9,
+                 "bbox": [10, 10, 20, 20]}]
+        r = evaluate_vid_detections(gt, dets)
+        assert r["AP"] == pytest.approx(1.0)
+        assert r["AP50"] == pytest.approx(1.0)
+        # miss -> 0
+        r0 = evaluate_vid_detections(
+            gt, [{"image_id": 1, "category_id": 1, "score": 0.9,
+                  "bbox": [50, 50, 10, 10]}]
+        )
+        assert r0["AP"] == 0.0
