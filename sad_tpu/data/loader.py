@@ -189,3 +189,63 @@ class TrainingLoader:
 
     def __exit__(self, *exc):
         self.shutdown()
+
+
+class DevicePrefetcher:
+    """Host->device double buffering — the BlobsQueue equivalent (ref:
+    loader.py:250-273 enqueue threads + caffe2 queue ops): a thread
+    device_puts the NEXT host batch (optionally through a shard/transform
+    fn) while the current step runs, overlapping H2D transfer with compute.
+
+    Wraps any object with get_next_batch()/queue_depth()/shutdown().
+    """
+
+    def __init__(self, loader, transform=None, depth: int = 2):
+        import jax
+
+        self._loader = loader
+        self._transform = transform or (lambda b: jax.device_put(b))
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+        self._error: Optional[BaseException] = None
+        self._thread = threading.Thread(
+            target=self._run, daemon=True, name="device-prefetch"
+        )
+        self._thread.start()
+
+    def _run(self):
+        try:
+            while not self._stop.is_set():
+                batch = self._loader.get_next_batch()
+                batch = self._transform(batch)
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(batch, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+        except BaseException as e:  # noqa: BLE001 — propagate to consumer
+            self._error = e
+            self._stop.set()
+
+    def get_next_batch(self):
+        while True:
+            if self._error is not None:
+                raise RuntimeError("device prefetch failed") from self._error
+            try:
+                return self._q.get(timeout=1.0)
+            except queue.Empty:
+                continue
+
+    def queue_depth(self) -> int:
+        return self._loader.queue_depth() + self._q.qsize()
+
+    def shutdown(self):
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=2.0)
+        self._loader.shutdown()

@@ -138,6 +138,20 @@ def train_model(
             teacher_params = jax.device_put(teacher_params, rep)
         logger.info("Using mesh %s", mesh)
 
+    if own_loader:
+        # BlobsQueue equivalent: overlap next-batch H2D (and mesh sharding)
+        # with the in-flight step (ref: loader.py:250-273)
+        from sad_tpu.data.loader import DevicePrefetcher
+
+        if mesh is not None:
+            from sad_tpu.parallel.mesh import shard_batch_tree
+
+            loader = DevicePrefetcher(
+                loader, lambda b: shard_batch_tree(b, mesh)
+            )
+        else:
+            loader = DevicePrefetcher(loader)
+
     # ----- jitted step
     n_groups = cfg.NUM_GPUS
     if is_rcnn:
@@ -212,7 +226,7 @@ def train_model(
                 cur_lr = new_lr
 
             batch = loader.get_next_batch()
-            if mesh is not None:
+            if mesh is not None and not own_loader:
                 from sad_tpu.parallel.mesh import shard_batch_tree
 
                 batch = shard_batch_tree(batch, mesh)

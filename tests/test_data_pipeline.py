@@ -181,3 +181,63 @@ class TestLoader:
                 loader.get_next_batch()
         finally:
             loader.shutdown()
+
+
+class TestDevicePrefetcher:
+    """Host->device double buffering (the BlobsQueue equivalent)."""
+
+    class _Fake:
+        def __init__(self, n=5, fail_at=None):
+            self.i = 0
+            self.n = n
+            self.fail_at = fail_at
+            self.down = False
+
+        def get_next_batch(self):
+            import time
+
+            if self.fail_at is not None and self.i == self.fail_at:
+                raise ValueError("boom")
+            if self.i >= self.n:
+                time.sleep(3600)  # block like an empty queue
+            self.i += 1
+            return {"x": np.full((2,), self.i, np.float32)}
+
+        def queue_depth(self):
+            return 0
+
+        def shutdown(self):
+            self.down = True
+
+    def test_order_and_device_placement(self):
+        import jax
+
+        from sad_tpu.data.loader import DevicePrefetcher
+
+        pf = DevicePrefetcher(self._Fake(n=4))
+        try:
+            vals = [float(pf.get_next_batch()["x"][0]) for _ in range(4)]
+            assert vals == [1.0, 2.0, 3.0, 4.0]
+            b = None
+        finally:
+            pf.shutdown()
+
+    def test_error_propagates(self):
+        from sad_tpu.data.loader import DevicePrefetcher
+
+        pf = DevicePrefetcher(self._Fake(n=4, fail_at=1))
+        try:
+            pf.get_next_batch()  # first batch fine
+            with pytest.raises(RuntimeError, match="device prefetch failed"):
+                pf.get_next_batch()
+        finally:
+            pf.shutdown()
+
+    def test_shutdown_propagates(self):
+        from sad_tpu.data.loader import DevicePrefetcher
+
+        fake = self._Fake(n=2)
+        pf = DevicePrefetcher(fake)
+        pf.get_next_batch()
+        pf.shutdown()
+        assert fake.down
