@@ -109,6 +109,7 @@ def run_inference_on_roidb(
     roidb: List[dict],
     contiguous_to_json: Dict[int, int],
     batch_size: int = 8,
+    vis_dir: Optional[str] = None,
 ) -> List[Dict]:
     """Returns COCO-format detection dicts for every image.
 
@@ -342,6 +343,21 @@ def run_inference_on_roidb(
                         )
                         det["segmentation"] = mask_to_rle(full)
                     detections.append(det)
+                if vis_dir is not None:
+                    # per-image detection render (ref: test_engine.py:231-244
+                    # cfg.VIS dumps; threshold cfg.VIS_TH)
+                    from sad_tpu.utils.vis import vis_one_image
+
+                    im_bgr = load_image_bgr(e["image"], False)
+                    base = os.path.splitext(
+                        os.path.basename(e["image"])
+                    )[0]
+                    os.makedirs(vis_dir, exist_ok=True)
+                    vis_one_image(
+                        im_bgr[:, :, ::-1], boxes[j], scores[j], classes[j],
+                        valid[j], thresh=cfg.VIS_TH,
+                        out_path=os.path.join(vis_dir, base + ".png"),
+                    )
             if (i // batch_size) % 10 == 0:
                 logger.info(
                     "inference %s: %d/%d (avg %.3fs/batch)",
@@ -362,8 +378,13 @@ def test_net_on_dataset(
     name = dataset_name or cfg.TEST.DATASETS[0]
     ds = CocoDataset(name)
     roidb = ds.get_roidb(include_gt=False)
+    vis_dir = (
+        os.path.join(output_dir or "/tmp/sad_tpu_vis", "vis")
+        if cfg.VIS else None
+    )
     dets = run_inference_on_roidb(
-        cfg, model, params, roidb, ds.contiguous_to_json, batch_size
+        cfg, model, params, roidb, ds.contiguous_to_json, batch_size,
+        vis_dir=vis_dir,
     )
     if output_dir:
         os.makedirs(output_dir, exist_ok=True)

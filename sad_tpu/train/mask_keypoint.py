@@ -121,14 +121,28 @@ def keypoint_loss(
     logp = jax.nn.log_softmax(flat.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, heat_labels[..., None], axis=-1)[..., 0]
     w = (heat_valid & is_fg[:, None]).astype(jnp.float32)
+    # NORMALIZE_BY_VISIBLE off: the reference multiplies the visible-mean
+    # loss by num_visible/(IMS*BATCH_SIZE_PER_IM*FG_FRACTION*K) — i.e. a
+    # FIXED denominator of expected-max-fg-keypoints (keypoint_rcnn.py:
+    # 105-110 + keypoint_rcnn_heads.py:128-146). r here is IMS*BATCH_SIZE
+    # _PER_IM rois, so the fixed denominator is r*FG_FRACTION*k.
+    nvis = jnp.sum(w)
     denom = (
-        jnp.maximum(jnp.sum(w), 1.0)
+        jnp.maximum(nvis, 1.0)
         if cfg.KRCNN.NORMALIZE_BY_VISIBLE_KEYPOINTS
-        else jnp.float32(r * k)
+        else jnp.float32(r * cfg.TRAIN.FG_FRACTION * k)
     )
+    # minibatch-validity gate (keypoint_rcnn.py:94-103
+    # finalize_keypoint_minibatch): too few visible keypoints -> the whole
+    # keypoint loss is dropped for this step. On-device predicate instead of
+    # the reference's host-side blob zeroing (static shapes).
+    gate = (
+        nvis > cfg.KRCNN.MIN_KEYPOINT_COUNT_FOR_VALID_MINIBATCH
+    ).astype(jnp.float32)
     return (
         cfg.KRCNN.LOSS_WEIGHT
         * (1.0 / n_groups)
+        * gate
         * jnp.sum(nll * w, dtype=jnp.float32)
         / denom
     )

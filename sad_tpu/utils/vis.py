@@ -47,6 +47,10 @@ def vis_one_image(
         c = int(classes[k])
         color = tuple(int(v) for v in cmap[c % len(cmap)])
         x1, y1, x2, y2 = (float(v) for v in boxes[k])
+        # degenerate decoded boxes (x2<x1 / y2<y1 after clipping) are kept
+        # by the decode path like the reference; PIL needs ordered corners
+        x1, x2 = min(x1, x2), max(x1, x2)
+        y1, y2 = min(y1, y2), max(y1, y2)
         draw.rectangle([x1, y1, x2, y2], outline=color, width=2)
         name = (
             class_names[c]

@@ -68,7 +68,12 @@ class TestKeypointTargets:
         assert int(labels[0, 0]) == 17
 
     def test_keypoint_loss_prefers_correct_peak(self):
-        cfg = merge_cfg_from_dict(Config(), {"MODEL": {"NUM_CLASSES": 2}})
+        cfg = merge_cfg_from_dict(
+            Config(),
+            {"MODEL": {"NUM_CLASSES": 2},
+             # 2 visible kps in this toy batch; disable the validity gate
+             "KRCNN": {"MIN_KEYPOINT_COUNT_FOR_VALID_MINIBATCH": 0}},
+        )
         r, s, k = 1, 4, 2
         labels = jnp.asarray([[5, 9]], jnp.int32)
         valid = jnp.asarray([[True, True]])
@@ -80,3 +85,71 @@ class TestKeypointTargets:
         bad = keypoint_loss(cfg, jnp.asarray(-logits), labels, valid, is_fg, 1)
         assert float(good) < 0.01
         assert float(bad) > 1.0
+
+
+class TestKeypointLossNormalization:
+    def test_fixed_denominator_matches_reference_formula(self):
+        """NORMALIZE_BY_VISIBLE off: loss = sum(nll*w) / (IMS*BS*FG_FRAC*K)
+        (ref: keypoint_rcnn.py:105-110 normalizer x visible-mean loss)."""
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+
+        from sad_tpu.config import Config
+        from sad_tpu.train.mask_keypoint import keypoint_loss
+
+        cfg = Config()
+        # the fixed-denominator path is the NON-default
+        # NORMALIZE_BY_VISIBLE_KEYPOINTS=False branch (ref config.py:866)
+        cfg = dataclasses.replace(
+            cfg, KRCNN=dataclasses.replace(
+                cfg.KRCNN, NORMALIZE_BY_VISIBLE_KEYPOINTS=False
+            )
+        )
+        r, s, k = 8, 4, cfg.KRCNN.NUM_KEYPOINTS
+        rng = np.random.RandomState(0)
+        logits = jnp.asarray(rng.randn(r, s, s, k), jnp.float32)
+        labels = jnp.asarray(rng.randint(0, s * s, (r, k)), jnp.int32)
+        valid = jnp.asarray(rng.rand(r, k) > 0.5)
+        is_fg = jnp.asarray([True] * 4 + [False] * 4)
+
+        loss = float(keypoint_loss(cfg, logits, labels, valid, is_fg, 1))
+
+        flat = np.asarray(logits).reshape(r, s * s, k).transpose(0, 2, 1)
+        logp = np.asarray(jax.nn.log_softmax(jnp.asarray(flat), axis=-1))
+        nll = -np.take_along_axis(
+            logp, np.asarray(labels)[..., None], axis=-1
+        )[..., 0]
+        w = np.asarray(valid) & np.asarray(is_fg)[:, None]
+        expect = (
+            cfg.KRCNN.LOSS_WEIGHT * (nll * w).sum()
+            / (r * cfg.TRAIN.FG_FRACTION * k)
+        )
+        assert loss == pytest.approx(expect, rel=1e-5)
+
+        # visible-normalized variant (the default) divides by visible count
+        cfg_v = Config()
+        loss_v = float(keypoint_loss(cfg_v, logits, labels, valid, is_fg, 1))
+        assert loss_v == pytest.approx(
+            cfg.KRCNN.LOSS_WEIGHT * (nll * w).sum() / max(w.sum(), 1),
+            rel=1e-5,
+        )
+
+
+class TestKeypointMinibatchGate:
+    def test_too_few_visible_keypoints_zeroes_loss(self):
+        """ref: keypoint_rcnn.py:94-103 finalize_keypoint_minibatch."""
+        from sad_tpu.config import Config
+        from sad_tpu.train.mask_keypoint import keypoint_loss
+
+        cfg = Config()  # gate at 20 visible keypoints
+        r, s, k = 2, 4, 17
+        rng = np.random.RandomState(1)
+        logits = jnp.asarray(rng.randn(r, s, s, k), jnp.float32)
+        labels = jnp.asarray(rng.randint(0, s * s, (r, k)), jnp.int32)
+        is_fg = jnp.asarray([True, True])
+        few = jnp.asarray(np.arange(r * k).reshape(r, k) < 10)  # 10 visible
+        many = jnp.ones((r, k), bool)  # 34 visible
+        assert float(keypoint_loss(cfg, logits, labels, few, is_fg, 1)) == 0.0
+        assert float(keypoint_loss(cfg, logits, labels, many, is_fg, 1)) > 0.0
