@@ -20,7 +20,7 @@ a = octave * num_aspect_ratios + aspect (retinanet.py:144).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, List, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import numpy as np
 

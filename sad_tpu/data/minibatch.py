@@ -35,7 +35,7 @@ from PIL import Image
 
 from sad_tpu.config import Config
 
-from .anchors import AnchorGrid, all_field_anchors, assign_retinanet_labels
+from .anchors import all_field_anchors, assign_retinanet_labels
 
 
 def fpn_max_size(cfg: Config) -> int:

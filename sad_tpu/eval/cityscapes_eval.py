@@ -16,7 +16,7 @@ PIL replaces cv2 for the mask PNGs; masks come from our RLE codec
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 

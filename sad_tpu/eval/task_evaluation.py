@@ -8,7 +8,7 @@ SURVEY.md §4)."""
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List
 
 from sad_tpu.config import Config
 from sad_tpu.utils.logging import setup_logging

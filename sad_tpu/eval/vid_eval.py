@@ -10,7 +10,7 @@ COCOEvaluator (coco_eval.py) with those parameters.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, Sequence
 
 from .coco_eval import COCOEvaluator
 

@@ -9,7 +9,7 @@ detection-dict format as the COCO evaluator. 'difficult' gt are ignored.
 from __future__ import annotations
 
 from collections import defaultdict
-from typing import Dict, List, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 

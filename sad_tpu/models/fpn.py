@@ -15,7 +15,7 @@ checkpoint converter.
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Dict
 
 import flax.linen as nn
 import jax.numpy as jnp

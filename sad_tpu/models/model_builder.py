@@ -11,14 +11,14 @@ optimizer (and the distill loss passes it no gradient anyway).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Tuple
+from typing import Any, Callable, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from sad_tpu.config import Config
 
-from .arch import ModelArch, arch_from_config
+from .arch import arch_from_config
 from .retinanet import RetinaNet
 
 

@@ -15,7 +15,7 @@ converter applies unchanged.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import flax.linen as nn
 import jax
@@ -24,9 +24,9 @@ import numpy as np
 
 from sad_tpu.config import Config
 
-from .arch import ModelArch, arch_from_config
+from .arch import arch_from_config
 from .fpn import FPNRetinaNetBackbone, upsample_nearest_2x
-from .resnet import ResNetBody, _conv
+from .resnet import _conv
 
 
 class RPNHead(nn.Module):
@@ -229,7 +229,7 @@ class GeneralizedRCNN(nn.Module):
     def __call__(self, images: jnp.ndarray, im_hw: jnp.ndarray):
         """images (B, H, W, 3); im_hw (B, 2). Returns per-image proposals
         and box-head outputs with static shapes."""
-        from sad_tpu.data.anchors import retinanet_cell_anchors, field_of_anchors
+        from sad_tpu.data.anchors import field_of_anchors
         from sad_tpu.ops.proposals import (
             collect_and_distribute_fpn_proposals,
             generate_proposals,

@@ -17,7 +17,7 @@ res2_0_branch2a, ...) so the pickle-checkpoint converter is a pure renaming.
 
 from __future__ import annotations
 
-from typing import Any, List, Tuple
+from typing import Any, List
 
 import flax.linen as nn
 import jax

@@ -12,14 +12,13 @@ Capability-equivalent to the reference's non-FPN paths:
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sad_tpu.config import Config
 
 from .resnet import _conv
 from .vgg import VGG16Body, VGGCNNM1024Body

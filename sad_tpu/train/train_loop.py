@@ -35,7 +35,6 @@ from sad_tpu.utils.stats import TrainingStats
 from .checkpoint import (
     find_latest_checkpoint,
     load_checkpoint,
-    load_reference_weights,
     save_checkpoint,
 )
 from .lr_policy import get_lr_at_iter, lr_change_correction

@@ -30,7 +30,6 @@ Batch pytree (static shapes, NHWC):
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax

@@ -6,7 +6,7 @@ debugging. Writes PNG/PDF via PIL.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 from PIL import Image, ImageDraw
