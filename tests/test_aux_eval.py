@@ -406,3 +406,47 @@ class TestVIDEval:
                   "bbox": [50, 50, 10, 10]}]
         )
         assert r0["AP"] == 0.0
+
+
+class TestEngineKpsTTA:
+    def test_kps_tta_combines_heatmaps(self, tmp_path):
+        import dataclasses as dc
+
+        import jax
+        from PIL import Image
+
+        from sad_tpu.eval.test_engine import run_inference_on_roidb
+        from sad_tpu.models import create_model
+        from sad_tpu.models.model_builder import init_model_params
+        from tests.test_rcnn import rcnn_cfg
+
+        cfg = rcnn_cfg(kps=True)
+        cfg = dc.replace(
+            cfg,
+            RESNETS=dc.replace(cfg.RESNETS, CHANNEL_RATIO=0.0625),
+            KRCNN=dc.replace(
+                cfg.KRCNN, NUM_KEYPOINTS=17, CONV_HEAD_DIM=16,
+                NUM_STACKED_CONVS=2,
+            ),
+            TEST=dc.replace(
+                cfg.TEST,
+                SCALES=(48,), MAX_SIZE=64, SCORE_THRESH=0.0,
+                DETECTIONS_PER_IM=4,
+                KPS_AUG=dc.replace(cfg.TEST.KPS_AUG, ENABLED=True,
+                                   H_FLIP=True, HEUR="HM_MAX"),
+            ),
+        )
+        model = create_model(cfg)
+        params = init_model_params(model, jax.random.PRNGKey(0), (1, 64, 64, 3))
+        p = tmp_path / "im.png"
+        Image.fromarray(
+            np.random.RandomState(0).randint(0, 255, (50, 60, 3), np.uint8)
+        ).save(p)
+        roidb = [{"id": 1, "image": str(p), "height": 50, "width": 60}]
+        dets = run_inference_on_roidb(
+            cfg, model, params, roidb, {i: i for i in range(10)},
+            batch_size=1,
+        )
+        for d in dets:
+            assert "keypoints" in d
+            assert len(d["keypoints"]) == 17 * 3
