@@ -32,19 +32,19 @@ def main():
     student_cfg = load_cfg(
         "/root/reference/detectron/configs/focal_distillation/"
         "retinanet_R-50-FPN_distillation.yaml",
-        ["NUM_GPUS", "4", "TRAIN.WEIGHTS", "", "COMPUTE_DTYPE", "bfloat16"],
+        ["NUM_GPUS", "8", "TRAIN.WEIGHTS", "", "COMPUTE_DTYPE", "bfloat16"],
     )
     teacher_cfg = load_cfg(
         "/root/reference/detectron/configs/focal_distillation/"
         "retinanet_R-101-FPN_1x_teacher.yaml",
-        ["NUM_GPUS", "4", "TRAIN.WEIGHTS", "", "COMPUTE_DTYPE", "bfloat16"],
+        ["NUM_GPUS", "8", "TRAIN.WEIGHTS", "", "COMPUTE_DTYPE", "bfloat16"],
     )
 
     h, w = 640, 1024
-    # 4 groups of TRAIN.IMS_PER_BATCH=2 images per chip: one v5e chip does the
-    # work of 4 reference GPUs per step with identical per-group loss math
-    # (better MXU utilization than bs2; same training semantics).
-    n_groups = 4
+    # 8 groups of TRAIN.IMS_PER_BATCH=2 images per chip: one chip does the
+    # work of 8 reference GPUs per step with identical per-group loss math
+    # (bs16 measured +4% over bs8; same training semantics).
+    n_groups = 8
     n_images = student_cfg.TRAIN.IMS_PER_BATCH * n_groups
 
     student = create_model(student_cfg)
@@ -101,7 +101,7 @@ def main():
             {
                 "metric": "joint_distill_train_imgs_per_sec_per_chip",
                 "value": round(imgs_per_sec, 3),
-                "unit": "imgs/s/chip (R50<-R101 SAD step, 640x1024, bs8)",
+                "unit": "imgs/s/chip (R50<-R101 SAD step, 640x1024, bs16)",
                 "vs_baseline": round(imgs_per_sec / baseline, 3),
             }
         )

@@ -157,6 +157,25 @@ def run_inference_on_roidb(
             out_[j_, :, 2] = w_ - x1 - 1.0
         return out_
 
+    # multi-chip inference: shard the image batch over the mesh 'data' axis
+    # (replacing the reference's per-GPU subprocess sharding,
+    # test_engine.py:115-153 + subprocess.py:39). XLA partitions the jitted
+    # program; params are replicated by sharding.
+    mesh = None
+    if jax.device_count() > 1 and batch_size % jax.device_count() == 0:
+        from sad_tpu.parallel import create_mesh
+        from sad_tpu.parallel.mesh import replicated_sharding, shard_batch_tree
+
+        mesh = create_mesh()
+        params = jax.device_put(params, replicated_sharding(mesh))
+        logger.info("inference over mesh %s", mesh)
+
+    def _put(host):
+        arrs = {k: jnp.asarray(v) for k, v in host.items()}
+        if mesh is not None:
+            return shard_batch_tree(arrs, mesh)
+        return arrs
+
     land, port = _test_canvas_shapes(cfg)
     groups = {"l": [], "p": []}
     for e in roidb:
@@ -175,12 +194,8 @@ def run_inference_on_roidb(
             batch_entries = chunk + [chunk[-1]] * pad
             host = prepare_test_batch(cfg, batch_entries, canvas)
             timer.tic()
-            out = infer(
-                params,
-                jnp.asarray(host["data"]),
-                jnp.asarray(host["im_hw"]),
-                jnp.asarray(host["im_scale"]),
-            )
+            dev = _put(host)
+            out = infer(params, dev["data"], dev["im_hw"], dev["im_scale"])
             boxes = np.asarray(out["boxes"])
             scores = np.asarray(out["scores"])
             classes = np.asarray(out["classes"])
@@ -208,11 +223,10 @@ def run_inference_on_roidb(
                         cfg, batch_entries, canvas,
                         int(t["scale"]), int(t["max_size"]), t["hflip"],
                     )
+                    dev_t = _put(host_t)
                     o = infer(
-                        params,
-                        jnp.asarray(host_t["data"]),
-                        jnp.asarray(host_t["im_hw"]),
-                        jnp.asarray(host_t["im_scale"]),
+                        params, dev_t["data"], dev_t["im_hw"],
+                        dev_t["im_scale"],
                     )
                     outs_t.append(
                         {kk: np.asarray(o[kk])
@@ -248,12 +262,15 @@ def run_inference_on_roidb(
                 boxes, scores, classes, valid = nb, ns, nc, nv
                 if aux_fn is not None:
                     # masks/keypoints must follow the MERGED boxes
-                    net = jnp.asarray(
-                        boxes * host["im_scale"][:, None, None], jnp.float32
-                    )
+                    dev_aux = _put({
+                        "data": host["data"],
+                        "net": (boxes * host["im_scale"][:, None, None]
+                                ).astype(np.float32),
+                        "valid": valid,
+                    })
                     aux0 = aux_fn(
-                        params, jnp.asarray(host["data"]), net,
-                        jnp.asarray(valid),
+                        params, dev_aux["data"], dev_aux["net"],
+                        dev_aux["valid"],
                     )
                     if "mask_prob" in aux0:
                         mask_prob = np.asarray(aux0["mask_prob"])
@@ -270,12 +287,14 @@ def run_inference_on_roidb(
                         _flip_boxes_imframe(boxes, batch_entries)
                         if t["hflip"] else boxes
                     )
-                    net = jnp.asarray(
-                        bx * host_t["im_scale"][:, None, None], jnp.float32
-                    )
+                    dev_t = _put({
+                        "data": host_t["data"],
+                        "net": (bx * host_t["im_scale"][:, None, None]
+                                ).astype(np.float32),
+                        "valid": valid,
+                    })
                     o = aux_fn(
-                        params, jnp.asarray(host_t["data"]), net,
-                        jnp.asarray(valid),
+                        params, dev_t["data"], dev_t["net"], dev_t["valid"]
                     )
                     mp = np.asarray(o["mask_prob"])
                     stacks.append(flip_mask_probs(mp) if t["hflip"] else mp)
@@ -291,12 +310,14 @@ def run_inference_on_roidb(
                         _flip_boxes_imframe(boxes, batch_entries)
                         if t["hflip"] else boxes
                     )
-                    net = jnp.asarray(
-                        bx * host_t["im_scale"][:, None, None], jnp.float32
-                    )
+                    dev_t = _put({
+                        "data": host_t["data"],
+                        "net": (bx * host_t["im_scale"][:, None, None]
+                                ).astype(np.float32),
+                        "valid": valid,
+                    })
                     o = aux_fn(
-                        params, jnp.asarray(host_t["data"]), net,
-                        jnp.asarray(valid),
+                        params, dev_t["data"], dev_t["net"], dev_t["valid"]
                     )
                     hm = np.asarray(o["kps_heatmaps"])
                     stacks.append(flip_heatmaps(hm) if t["hflip"] else hm)

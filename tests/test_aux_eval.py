@@ -450,3 +450,48 @@ class TestEngineKpsTTA:
         for d in dets:
             assert "keypoints" in d
             assert len(d["keypoints"]) == 17 * 3
+
+
+class TestMeshInference:
+    def test_batch_sharded_over_data_axis(self, tmp_path):
+        """batch_size divisible by device count -> the engine runs the jitted
+        decode over an 8-way 'data' mesh (replacing the reference's
+        subprocess sharding)."""
+        import dataclasses as dc
+
+        import jax
+        from PIL import Image
+
+        from sad_tpu.eval.test_engine import run_inference_on_roidb
+        from sad_tpu.models import create_model
+        from sad_tpu.models.model_builder import init_model_params
+        from tests.test_rcnn import rcnn_cfg
+
+        cfg = rcnn_cfg()
+        cfg = dc.replace(
+            cfg,
+            RESNETS=dc.replace(cfg.RESNETS, CHANNEL_RATIO=0.0625),
+            TEST=dc.replace(
+                cfg.TEST, SCALES=(48,), MAX_SIZE=64, DETECTIONS_PER_IM=4,
+            ),
+        )
+        model = create_model(cfg)
+        params = init_model_params(model, jax.random.PRNGKey(0), (1, 64, 64, 3))
+        rng = np.random.RandomState(0)
+        roidb = []
+        for i in range(8):
+            p = tmp_path / f"im{i}.png"
+            Image.fromarray(
+                rng.randint(0, 255, (50, 60, 3), np.uint8)
+            ).save(p)
+            roidb.append(
+                {"id": i + 1, "image": str(p), "height": 50, "width": 60}
+            )
+        assert jax.device_count() == 8
+        dets = run_inference_on_roidb(
+            cfg, model, params, roidb, {i: i for i in range(10)},
+            batch_size=8,
+        )
+        assert isinstance(dets, list)
+        ids = {d["image_id"] for d in dets}
+        assert ids.issubset(set(range(1, 9)))
