@@ -107,3 +107,77 @@ def add_proposals_to_roidb(
             boxes[:, 0] = w - x2 - 1
             boxes[:, 2] = w - x1 - 1
         e["proposal_boxes"] = boxes
+
+
+def evaluate_box_proposals(
+    proposals: Dict[str, list],
+    gt_roidb: List[dict],
+    thresholds: Optional[np.ndarray] = None,
+    area: str = "all",
+    limit: Optional[int] = None,
+) -> Dict[str, object]:
+    """Proposal recall / average-recall metrics (ref:
+    json_dataset_evaluator.py:237-318 evaluate_box_proposals): greedy
+    best-covered-gt matching per image, recall over IoU 0.5:0.05:0.95,
+    AR = mean recall. `proposals` is the dict from
+    generate_rpn_on_dataset ({'boxes','scores','ids'})."""
+    from sad_tpu.native import bbox_overlaps
+
+    area_ranges = {
+        "all": (0.0, 1e5 ** 2),
+        "small": (0.0, 32.0 ** 2),
+        "medium": (32.0 ** 2, 96.0 ** 2),
+        "large": (96.0 ** 2, 1e5 ** 2),
+        "96-128": (96.0 ** 2, 128.0 ** 2),
+        "128-256": (128.0 ** 2, 256.0 ** 2),
+        "256-512": (256.0 ** 2, 512.0 ** 2),
+        "512-inf": (512.0 ** 2, 1e5 ** 2),
+    }
+    lo, hi = area_ranges[area]
+    by_id = {i: k for k, i in enumerate(proposals["ids"])}
+    gt_overlaps = np.zeros(0, np.float32)
+    num_pos = 0
+    for e in gt_roidb:
+        keep = (e["gt_classes"] > 0) & (~e["is_crowd"])
+        gt_boxes = e["boxes"][keep]
+        gt_areas = e.get("seg_areas")
+        if gt_areas is not None:
+            gt_areas = np.asarray(gt_areas)[keep]
+        else:
+            wh = gt_boxes[:, 2:] - gt_boxes[:, :2] + 1.0
+            gt_areas = wh[:, 0] * wh[:, 1]
+        sel = (gt_areas >= lo) & (gt_areas <= hi)
+        gt_boxes = gt_boxes[sel]
+        num_pos += int(sel.sum())
+        k = by_id.get(e["id"])
+        if k is None or len(gt_boxes) == 0:
+            continue
+        boxes = np.asarray(proposals["boxes"][k], np.float32)
+        if limit is not None and len(boxes) > limit:
+            boxes = boxes[:limit]
+        if len(boxes) == 0:
+            continue
+        ov = bbox_overlaps(boxes, gt_boxes.astype(np.float32))
+        got = np.zeros(len(gt_boxes), np.float32)
+        for j in range(min(len(boxes), len(gt_boxes))):
+            gt_ind = ov.max(axis=0).argmax()
+            gt_ovr = ov.max(axis=0).max()
+            if gt_ovr < 0:
+                break
+            box_ind = ov[:, gt_ind].argmax()
+            got[j] = ov[box_ind, gt_ind]
+            ov[box_ind, :] = -1.0
+            ov[:, gt_ind] = -1.0
+        gt_overlaps = np.concatenate([gt_overlaps, got])
+    if thresholds is None:
+        thresholds = np.arange(0.5, 0.95 + 1e-5, 0.05)
+    recalls = np.asarray(
+        [(gt_overlaps >= t).sum() / max(float(num_pos), 1.0)
+         for t in thresholds]
+    )
+    return {
+        "ar": float(recalls.mean()),
+        "recalls": recalls,
+        "thresholds": np.asarray(thresholds),
+        "num_pos": num_pos,
+    }

@@ -56,6 +56,25 @@ def main(argv=None):
             score_thresh=args.pseudo_score_thresh,
             batch_size=args.batch_size,
         )
+    elif cfg.MODEL.TYPE == "rpn":
+        # RPN-only: dump proposals + recall metrics (ref: test_engine.py
+        # RPN_ONLY branch -> rpn_generator + evaluate_box_proposals)
+        from sad_tpu.data.dataset import CocoDataset
+        from sad_tpu.eval.rpn_generator import (
+            evaluate_box_proposals,
+            generate_rpn_on_dataset,
+        )
+
+        out_dir = get_output_dir(cfg, training=False)
+        props = generate_rpn_on_dataset(
+            cfg, model, params, batch_size=args.batch_size,
+            output_file=f"{out_dir}/rpn_proposals.pkl",
+        )
+        gt_roidb = CocoDataset(cfg.TEST.DATASETS[0]).get_roidb(include_gt=True)
+        rec = evaluate_box_proposals(props, gt_roidb)
+        logger.info(
+            "Proposal AR=%.4f over %d gt boxes", rec["ar"], rec["num_pos"]
+        )
     else:
         from sad_tpu.eval.test_engine import test_net_on_dataset
 

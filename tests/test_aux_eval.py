@@ -495,3 +495,29 @@ class TestMeshInference:
         assert isinstance(dets, list)
         ids = {d["image_id"] for d in dets}
         assert ids.issubset(set(range(1, 9)))
+
+
+class TestProposalRecall:
+    def test_perfect_and_missed_proposals(self):
+        from sad_tpu.eval.rpn_generator import evaluate_box_proposals
+
+        gt_roidb = [{
+            "id": 1,
+            "boxes": np.asarray([[10, 10, 40, 40], [50, 50, 90, 80]],
+                                np.float32),
+            "gt_classes": np.asarray([1, 2], np.int32),
+            "is_crowd": np.zeros(2, bool),
+        }]
+        perfect = {"ids": [1], "scores": [np.ones(2, np.float32)],
+                   "boxes": [np.asarray([[10, 10, 40, 40], [50, 50, 90, 80]],
+                                        np.float32)]}
+        rec = evaluate_box_proposals(perfect, gt_roidb)
+        assert rec["ar"] == pytest.approx(1.0)
+        assert rec["num_pos"] == 2
+        half = {"ids": [1], "scores": [np.ones(1, np.float32)],
+                "boxes": [np.asarray([[10, 10, 40, 40]], np.float32)]}
+        rec2 = evaluate_box_proposals(half, gt_roidb)
+        assert rec2["ar"] == pytest.approx(0.5)
+        # limit=0 means no proposals survive
+        rec3 = evaluate_box_proposals(perfect, gt_roidb, limit=1)
+        assert rec3["ar"] == pytest.approx(0.5)
