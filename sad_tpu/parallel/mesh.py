@@ -73,6 +73,17 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def spatial_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard (B, H, W, C) images: batch over the data axes, image HEIGHT
+    over the 'model' axis — the CNN analogue of sequence parallelism
+    (SURVEY.md §5.7). XLA partitions the convolutions spatially and inserts
+    the halo exchanges; outputs match a replicated run to roundoff (see
+    tests). Use for inputs too large for one chip's HBM."""
+    axes = tuple(a for a in ("dcn", "data") if a in mesh.axis_names)
+    batch_axes = axes if len(axes) > 1 else axes[0]
+    return NamedSharding(mesh, P(batch_axes, "model", None, None))
+
+
 def shard_batch_tree(batch, mesh: Mesh):
     """Apply leading-dim data sharding to every array in a batch pytree.
 

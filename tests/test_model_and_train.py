@@ -431,3 +431,32 @@ class TestFusedOptimizer:
             ),
             (p1, s1.velocity), (p2, s2.velocity),
         )
+
+
+class TestSpatialSharding:
+    def test_height_sharded_conv_matches_replicated(self):
+        """'model'-axis spatial sharding (SURVEY §5.7): XLA partitions the
+        convs with halo exchange; results match a replicated run."""
+        import numpy as onp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from sad_tpu.models import RetinaNet
+        from sad_tpu.parallel import create_mesh
+        from sad_tpu.parallel.mesh import replicated_sharding, spatial_sharding
+
+        mesh = create_mesh(n_data=2, n_model=4)
+        model = RetinaNet(tiny_arch())
+        x = jnp.asarray(
+            onp.random.RandomState(0).randn(2, 128, 128, 3), jnp.float32
+        )
+        params = model.init(jax.random.PRNGKey(0), x)["params"]
+        params = jax.device_put(params, replicated_sharding(mesh))
+        fwd = jax.jit(lambda p, im: model.apply({"params": p}, im))
+        out = fwd(params, jax.device_put(x, spatial_sharding(mesh)))
+        ref = fwd(params, jax.device_put(x, replicated_sharding(mesh)))
+        for lvl in out["cls_logits"]:
+            onp.testing.assert_allclose(
+                onp.asarray(out["cls_logits"][lvl]),
+                onp.asarray(ref["cls_logits"][lvl]),
+                atol=2e-5,
+            )
