@@ -7,10 +7,14 @@ all assume. Works on jnp or numpy inputs (pure jnp ops).
 
 from __future__ import annotations
 
+import math
+
 import jax.numpy as jnp
 
 # Matches cfg.BBOX_XFORM_CLIP = log(1000/16) (config.py:926).
-BBOX_XFORM_CLIP = float(jnp.log(1000.0 / 16.0))
+# math.log (not jnp.log): a module-level jnp call would initialize the JAX
+# backend at import time, which breaks hermetic CPU-mesh dry runs.
+BBOX_XFORM_CLIP = math.log(1000.0 / 16.0)
 
 
 def bbox_transform(
