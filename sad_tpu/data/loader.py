@@ -19,6 +19,7 @@ enqueue threads + Caffe2 BlobsQueue), TPU-redesigned:
 
 from __future__ import annotations
 
+import itertools
 import queue
 import threading
 from typing import Dict, List, Optional
@@ -106,6 +107,8 @@ class TrainingLoader:
             if unlabeled_roidb
             else None
         )
+        self._seed = seed
+        self._build_counter = itertools.count()  # next() is atomic in CPython
         self._queues = {"labeled": queue.Queue(queue_capacity)}
         if self.unlabeled:
             self._queues["unlabeled"] = queue.Queue(queue_capacity)
@@ -140,7 +143,10 @@ class TrainingLoader:
                     name = min(sizes, key=sizes.get)
                 stream = self.labeled if name == "labeled" else self.unlabeled
                 entries = stream.next_batch()
-                built = self.builder.build(entries)
+                # distinct deterministic seed per built batch (drives the
+                # per-image scale sampling + RPN label subsampling)
+                bseed = (self._seed * 1_000_003 + next(self._build_counter)) % (2**31)
+                built = self.builder.build(entries, seed=bseed)
                 batch = built.as_pytree() if hasattr(built, "as_pytree") else built
                 while not self._stop.is_set():
                     try:
@@ -230,6 +236,12 @@ class DevicePrefetcher:
 
     def get_next_batch(self):
         while True:
+            # drain already-prefetched good batches before surfacing a
+            # worker error (the error belongs to a LATER batch)
+            try:
+                return self._q.get_nowait()
+            except queue.Empty:
+                pass
             if self._error is not None:
                 raise RuntimeError("device prefetch failed") from self._error
             try:

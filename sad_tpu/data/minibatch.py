@@ -166,10 +166,17 @@ class RetinaNetMinibatchBuilder:
         return self.landscape if entry["width"] >= entry["height"] else self.portrait
 
     def build(
-        self, entries: List[dict], images_bgr: Optional[List[np.ndarray]] = None
+        self,
+        entries: List[dict],
+        images_bgr: Optional[List[np.ndarray]] = None,
+        seed: int = 0,
     ) -> RetinaNetBatch:
         """entries must share one canvas orientation (aspect grouping)."""
         cfg = self.cfg
+        # per-image random scale index (ref: roi_data/minibatch.py:48-53
+        # _get_image_blob samples scale_inds per image)
+        rng = np.random.RandomState(seed)
+        scale_inds = rng.randint(0, len(cfg.TRAIN.SCALES), size=len(entries))
         canvas = self.canvas_for(entries[0])
         assert all(self.canvas_for(e) == canvas for e in entries), (
             "batch mixes canvas orientations; aspect-group upstream"
@@ -210,7 +217,7 @@ class RetinaNetMinibatchBuilder:
             )
             scale = compute_im_scale(
                 entry["height"], entry["width"],
-                cfg.TRAIN.SCALES[0], cfg.TRAIN.MAX_SIZE,
+                cfg.TRAIN.SCALES[scale_inds[i]], cfg.TRAIN.MAX_SIZE,
             )
             im = prep_image(
                 im_bgr, scale, cfg.PIXEL_MEANS, cfg.PIXEL_DIV, cfg.PIXEL_STD

@@ -182,10 +182,14 @@ class RCNNMinibatchBuilder:
             "im_hw": np.zeros((n, 2), np.float32),
         }
         scales = np.zeros((n,), np.float32)
+        # per-image random scale index (ref: roi_data/minibatch.py:48-53)
+        scale_rng = np.random.RandomState(seed ^ 0x5BD1E995)
+        scale_inds = scale_rng.randint(0, len(cfg.TRAIN.SCALES), size=n)
         for i, e in enumerate(entries):
             im_bgr = load_image_bgr(e["image"], e.get("flipped", False))
             scale = compute_im_scale(
-                e["height"], e["width"], cfg.TRAIN.SCALES[0], cfg.TRAIN.MAX_SIZE
+                e["height"], e["width"],
+                cfg.TRAIN.SCALES[scale_inds[i]], cfg.TRAIN.MAX_SIZE,
             )
             im = prep_image(
                 im_bgr, scale, cfg.PIXEL_MEANS, cfg.PIXEL_DIV, cfg.PIXEL_STD

@@ -36,6 +36,13 @@ AREA_RNGS = {
 MAX_DETS = (1, 10, 100)
 
 
+def _gt_area(g: Dict) -> float:
+    """GT area for the small/medium/large split: the annotation's 'area'
+    field (segmentation area in COCO) when present, else bbox w*h."""
+    a = g.get("area")
+    return float(a) if a is not None else float(g["bbox"][2] * g["bbox"][3])
+
+
 def _iou_xywh(dt: np.ndarray, gt: np.ndarray, iscrowd: np.ndarray) -> np.ndarray:
     """(D, G) IoU; crowd gt uses intersection / det area."""
     if len(dt) == 0 or len(gt) == 0:
@@ -142,11 +149,20 @@ class COCOEvaluator:
         }
         self._gt = defaultdict(list)  # (img_id, cat_id) -> list of anns
         for ann in gt_dataset.get("annotations", []):
-            if ann.get("ignore", 0):
-                continue
+            # ignore=1 anns stay in the pool as permanently-ignored gt
+            # (pycocotools _prepare: dets matched to them are ignored, NOT
+            # counted as false positives)
             self._gt[(ann["image_id"], ann["category_id"])].append(ann)
 
     # ------------------------------------------------------------- matching
+
+    def _dt_area(self, d: Dict) -> float:
+        if self.iou_type == "segm" and "segmentation" in d:
+            seg = d["segmentation"]
+            counts = seg.get("counts") if isinstance(seg, dict) else None
+            if counts is not None and not isinstance(counts, (bytes, str)):
+                return float(sum(counts[1::2]))  # uncompressed RLE fg area
+        return float(d["bbox"][2] * d["bbox"][3])
 
     def _evaluate_img_cat(
         self, dts: List[Dict], gts: List[Dict], area_rng: Tuple[float, float],
@@ -154,12 +170,22 @@ class COCOEvaluator:
     ) -> Optional[Dict]:
         if len(dts) == 0 and len(gts) == 0:
             return None
-        # gt ignore flags: crowd or outside area range
+        # gt ignore flags: explicit ignore, crowd, or outside area range.
+        # Area is the annotation's 'area' field when present (for COCO that
+        # is the SEGMENTATION area — pycocotools uses it for the gt side of
+        # the small/medium/large split), falling back to bbox w*h.
         g_ignore = np.array(
             [
-                bool(g.get("iscrowd", 0))
-                or g["bbox"][2] * g["bbox"][3] < area_rng[0]
-                or g["bbox"][2] * g["bbox"][3] > area_rng[1]
+                bool(g.get("ignore", 0))
+                or bool(g.get("iscrowd", 0))
+                or _gt_area(g) < area_rng[0]
+                or _gt_area(g) > area_rng[1]
+                # keypoint protocol: gts with no labeled keypoints are
+                # ignored (pycocotools _prepare, kpt branch)
+                or (
+                    self.iou_type == "keypoints"
+                    and int(g.get("num_keypoints", 1)) == 0
+                )
                 for g in gts
             ],
             dtype=bool,
@@ -211,14 +237,11 @@ class COCOEvaluator:
                 dt_m[ti, di] = best_g + 1
                 gt_m[ti, best_g] = di + 1
 
-        # unmatched dets outside the area range are ignored
+        # unmatched dets outside the area range are ignored (pycocotools
+        # loadRes: det area = bbox w*h for bbox eval, mask area for segm)
+        d_areas = [self._dt_area(d) for d in dts]
         d_out = np.array(
-            [
-                d["bbox"][2] * d["bbox"][3] < area_rng[0]
-                or d["bbox"][2] * d["bbox"][3] > area_rng[1]
-                for d in dts
-            ],
-            dtype=bool,
+            [a < area_rng[0] or a > area_rng[1] for a in d_areas], dtype=bool
         )
         dt_ig = np.logical_or(dt_ig, (dt_m == 0) & d_out[None, :])
         return {

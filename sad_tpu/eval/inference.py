@@ -84,6 +84,14 @@ def decode_detections(
     """Decode a batch. Returns dict of (N, DETECTIONS_PER_IM) arrays:
     'boxes' (.., 4) in original-image coords, 'scores', 'classes' (1-based,
     like the reference's category indexing), 'valid'."""
+    # The reference decode cannot run CLASS_SPECIFIC_BBOX either: its
+    # box_pred.reshape((n, A, 4, H, W)) (test_retinanet.py:120-121) fails on
+    # the 4*(C-1)*A-channel output; no shipped config enables it. Fail loudly
+    # rather than decode the wrong delta slice.
+    assert not cfg.RETINANET.CLASS_SPECIFIC_BBOX, (
+        "decode_detections does not support RETINANET.CLASS_SPECIFIC_BBOX "
+        "(neither does the reference inference path)"
+    )
     levels = cfg.fpn_levels()
     a = cfg.num_anchors_per_cell()
     cells = {

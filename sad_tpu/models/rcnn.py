@@ -124,7 +124,7 @@ class MaskHead(nn.Module):
             m = self.resolution
             out = nn.Dense(
                 out_dim * m * m, dtype=self.dtype, param_dtype=jnp.float32,
-                kernel_init=gauss, name="mask_fcn_logits_fc",
+                kernel_init=gauss, name="mask_fcn_logits",
             )(flat)
             return out.reshape(r, m, m, out_dim).astype(jnp.float32)
         x = nn.relu(

@@ -43,7 +43,7 @@ def main(argv=None):
     (h0, w0), _ = canvas_shapes(cfg)
     params = init_model_params(model, jax.random.PRNGKey(0), (1, h0, w0, 3))
     if args.weights or cfg.TEST.WEIGHTS:
-        params = load_reference_or_native(args.weights or cfg.TEST.WEIGHTS, params)
+        params = load_reference_or_native(args.weights or cfg.TEST.WEIGHTS, params, cfg)
     infer = make_inference_fn(cfg, model)
 
     cs = cfg.FPN.COARSEST_STRIDE

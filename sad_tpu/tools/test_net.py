@@ -45,7 +45,7 @@ def main(argv=None):
     params = init_model_params(model, jax.random.PRNGKey(0), (1, h, w, 3))
     weights = args.weights or cfg.TEST.WEIGHTS
     if weights:
-        params = load_reference_or_native(weights, params)
+        params = load_reference_or_native(weights, params, cfg)
         logger.info("Loaded weights: %s", weights)
 
     if args.pseudo_out:

@@ -103,8 +103,72 @@ def _caffe2_name(path: Tuple[str, ...]) -> Optional[str]:
     return None
 
 
-def flax_to_reference_blobs(params: Any) -> Dict[str, np.ndarray]:
-    """Export a sad_tpu param tree to reference blob naming (HWIO->OIHW)."""
+# Modules implemented as ConvTranspose: Caffe2 stores deconv filters IOHW and
+# computes the conv-adjoint (kernel effectively flipped vs. flax's
+# ConvTranspose correlation, verified numerically vs torch), so conversion is
+# transpose(2,3,0,1) + spatial flip in BOTH directions.
+# Ref: conv_transpose_op_impl.h:40-48 (filter dim0 == input channels),
+# mask_rcnn_heads.py conv5_mask, keypoint_rcnn_heads.py:52-84.
+_DECONV_MODULES = {"conv5_mask", "kps_score_lowres", "kps_score", "kps_deconv"}
+
+
+def fc_flatten_resolutions(cfg) -> Dict[str, int]:
+    """Spatial resolution of the RoI feature entering each flattening FC.
+
+    The reference flattens NCHW RoI features (CHW row order,
+    fast_rcnn_heads.py add_roi_2mlp_head; mask_rcnn_heads.py USE_FC_OUTPUT);
+    our heads flatten NHWC, so the first FC's input rows must be permuted for
+    real-weight parity. Maps module name -> square spatial resolution.
+    """
+    return {
+        "fc6": cfg.FAST_RCNN.ROI_XFORM_RESOLUTION,
+        "mask_fcn_logits": cfg.MRCNN.ROI_XFORM_RESOLUTION,
+    }
+
+
+def _fc_perm_to_flax(res: int, c: int) -> np.ndarray:
+    """Row permutation taking CHW-flattened FC input rows to HWC order."""
+    return np.arange(c * res * res).reshape(c, res, res).transpose(1, 2, 0).ravel()
+
+
+def _fc_perm_to_ref(res: int, c: int) -> np.ndarray:
+    """Row permutation taking HWC-flattened FC input rows to CHW order."""
+    return np.arange(res * res * c).reshape(res, res, c).transpose(2, 0, 1).ravel()
+
+
+def _kernel_to_ref(arr: np.ndarray, module: str, fc_resolutions) -> np.ndarray:
+    if arr.ndim == 4:
+        if module in _DECONV_MODULES:
+            return arr[::-1, ::-1].transpose(2, 3, 0, 1)  # HWIO -> IOHW + flip
+        return arr.transpose(3, 2, 0, 1)  # HWIO -> OIHW
+    if arr.ndim == 2:  # Dense: (in, out) -> (out, in)
+        res = (fc_resolutions or {}).get(module)
+        if res and arr.shape[0] % (res * res) == 0 and arr.shape[0] > res * res:
+            arr = arr[_fc_perm_to_ref(res, arr.shape[0] // (res * res))]
+        return arr.T
+    return arr
+
+
+def _kernel_to_flax(arr: np.ndarray, module: str, fc_resolutions) -> np.ndarray:
+    if arr.ndim == 4:
+        if module in _DECONV_MODULES:
+            return arr.transpose(2, 3, 0, 1)[::-1, ::-1]  # IOHW -> HWIO + flip
+        return arr.transpose(2, 3, 1, 0)  # OIHW -> HWIO
+    if arr.ndim == 2:
+        arr = arr.T  # (out, in) -> (in, out)
+        res = (fc_resolutions or {}).get(module)
+        if res and arr.shape[0] % (res * res) == 0 and arr.shape[0] > res * res:
+            arr = arr[_fc_perm_to_flax(res, arr.shape[0] // (res * res))]
+        return arr
+    return arr
+
+
+def flax_to_reference_blobs(
+    params: Any, fc_resolutions: Optional[Dict[str, int]] = None
+) -> Dict[str, np.ndarray]:
+    """Export a sad_tpu param tree to reference blob naming/layout (conv
+    HWIO->OIHW, deconv HWIO->IOHW+flip, Dense (in,out)->(out,in) with
+    HWC->CHW input-row reorder for flattening FCs per fc_resolutions)."""
     blobs: Dict[str, np.ndarray] = {}
     for path, leaf in _iter_param_paths(params):
         name = _caffe2_name(path)
@@ -112,7 +176,8 @@ def flax_to_reference_blobs(params: Any) -> Dict[str, np.ndarray]:
             raise ValueError(f"Cannot map param path {path} to a blob name")
         arr = np.asarray(leaf)
         if path[-1] == "kernel":
-            arr = arr.transpose(3, 2, 0, 1)  # HWIO -> OIHW
+            module = path[-2] if len(path) > 1 else ""
+            arr = _kernel_to_ref(arr, module, fc_resolutions)
         blobs[name] = arr
     return blobs
 
@@ -121,11 +186,14 @@ def reference_blobs_to_flax(
     blobs: Dict[str, np.ndarray],
     params_template: Any,
     strict: bool = False,
+    fc_resolutions: Optional[Dict[str, int]] = None,
 ) -> Tuple[Any, list, list]:
     """Fill a param-tree template from reference blobs.
 
     Shape-mismatched or missing blobs are skipped with the template value
     retained (matching net.py:108-122's skip-on-mismatch behavior).
+    Pass fc_resolutions (see fc_flatten_resolutions) so flattening-FC kernels
+    get their input rows permuted from the reference's CHW order to HWC.
     Returns (params, loaded_names, skipped_names).
     """
     loaded, skipped = [], []
@@ -141,7 +209,8 @@ def reference_blobs_to_flax(
             return tree
         arr = np.asarray(blobs[name], dtype=np.float32)
         if prefix[-1] == "kernel":
-            arr = arr.transpose(2, 3, 1, 0)  # OIHW -> HWIO
+            module = prefix[-2] if len(prefix) > 1 else ""
+            arr = _kernel_to_flax(arr, module, fc_resolutions)
         if arr.shape != tuple(tree.shape):
             skipped.append("/".join(prefix) + f" (shape {arr.shape} != {tree.shape})")
             if strict:
@@ -154,18 +223,27 @@ def reference_blobs_to_flax(
 
 
 def convert_reference_pickle(
-    pkl_path: str, params_template: Any, strict: bool = False
+    pkl_path: str,
+    params_template: Any,
+    strict: bool = False,
+    fc_resolutions: Optional[Dict[str, int]] = None,
 ) -> Tuple[Any, list, list]:
     """Load a reference checkpoint pickle ({'blobs': {...}} or a flat dict of
     blobs, py2 or py3 pickled) into a sad_tpu param tree."""
     with open(pkl_path, "rb") as f:
         data = pickle.load(f, encoding="latin1")
     blobs = data.get("blobs", data) if isinstance(data, dict) else data
-    return reference_blobs_to_flax(blobs, params_template, strict=strict)
+    return reference_blobs_to_flax(
+        blobs, params_template, strict=strict, fc_resolutions=fc_resolutions
+    )
 
 
 def load_reference_weights(
-    pkl_path: str, params_template: Any
+    pkl_path: str,
+    params_template: Any,
+    fc_resolutions: Optional[Dict[str, int]] = None,
 ) -> Any:
-    params, loaded, skipped = convert_reference_pickle(pkl_path, params_template)
+    params, loaded, skipped = convert_reference_pickle(
+        pkl_path, params_template, fc_resolutions=fc_resolutions
+    )
     return params

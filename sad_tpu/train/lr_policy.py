@@ -15,13 +15,12 @@ from sad_tpu.config import Config, SolverConfig
 def _step_index(solver: SolverConfig, cur_iter: int) -> int:
     steps = list(solver.STEPS) + [solver.MAX_ITER]
     assert steps[0] == 0, "SOLVER.STEPS must start at 0"
+    # Loop-fallthrough mirrors the reference's get_step_index: at or past
+    # MAX_ITER, ind stays at the last enumerate value (len(steps)-1).
     ind = len(steps) - 1
-    for i, step in enumerate(steps):
+    for ind, step in enumerate(steps):
         if cur_iter < step:
-            ind = i
             break
-    else:
-        ind = len(steps)
     return ind - 1
 
 

@@ -76,7 +76,7 @@ def train_model(
         )
         if teacher_cfg.TRAIN.WEIGHTS:
             teacher_params = load_reference_or_native(
-                teacher_cfg.TRAIN.WEIGHTS, teacher_params
+                teacher_cfg.TRAIN.WEIGHTS, teacher_params, teacher_cfg
             )
             logger.info("Loaded teacher weights: %s", teacher_cfg.TRAIN.WEIGHTS)
 
@@ -96,7 +96,7 @@ def train_model(
                 start_iter = max(start_iter, max_iters)
             logger.info("Auto-resumed from %s at iter %d", ckpt_path, start_iter)
     if start_iter == 0 and cfg.TRAIN.WEIGHTS:
-        params = load_reference_or_native(cfg.TRAIN.WEIGHTS, params)
+        params = load_reference_or_native(cfg.TRAIN.WEIGHTS, params, cfg)
         logger.info("Initialized student from %s", cfg.TRAIN.WEIGHTS)
 
     # ----- data
@@ -276,19 +276,23 @@ def device_memory_stats() -> Dict[str, float]:
         return {}
 
 
-def load_reference_or_native(path: str, params_template):
+def load_reference_or_native(path: str, params_template, cfg=None):
     """Dispatch on checkpoint format: native sad_tpu pickle vs reference
-    Caffe2 blob pickle (net.py:50-146)."""
+    Caffe2 blob pickle (net.py:50-146). Pass cfg so flattening-FC kernels
+    (fc6 / mask_fcn_logits) get their CHW->HWC input-row permutation."""
     import pickle
 
     with open(path, "rb") as f:
         data = pickle.load(f, encoding="latin1")
     if isinstance(data, dict) and "params" in data:
         return jax.tree_util.tree_map(jnp.asarray, data["params"])
-    from .checkpoint import reference_blobs_to_flax
+    from .checkpoint import fc_flatten_resolutions, reference_blobs_to_flax
 
     blobs = data.get("blobs", data)
-    params, loaded, skipped = reference_blobs_to_flax(blobs, params_template)
+    params, loaded, skipped = reference_blobs_to_flax(
+        blobs, params_template,
+        fc_resolutions=fc_flatten_resolutions(cfg) if cfg is not None else None,
+    )
     logger.info(
         "Reference weights: loaded %d blobs, skipped %d params",
         len(loaded), len(skipped),

@@ -150,6 +150,26 @@ class TestMinibatch:
         total_fg_mask = sum(m.sum() for m in batch.fg_mask.values())
         assert total_fg_mask > 0
 
+    def test_multiscale_samples_per_image(self, synth_dataset):
+        """TRAIN.SCALES with >1 entry must actually be sampled per image
+        (ref: roi_data/minibatch.py _get_image_blob scale_inds)."""
+        cfg = merge_cfg_from_dict(
+            tiny_train_cfg(), {"TRAIN": {"SCALES": (32, 48, 64), "IMS_PER_BATCH": 1}}
+        )
+        ds = CocoDataset(synth_dataset)
+        roidb = [e for e in ds.get_roidb() if e["width"] >= e["height"]][:1]
+        builder = RetinaNetMinibatchBuilder(cfg)
+        seen = set()
+        for seed in range(16):
+            batch = builder.build(roidb, seed=seed)
+            seen.add(float(batch.im_scale[0]))
+        # the 64x96 image at shortest-side targets 32/48/64 -> 3 scales
+        assert len(seen) == 3
+        # determinism: same seed -> same scale
+        a = builder.build(roidb, seed=5).im_scale[0]
+        b = builder.build(roidb, seed=5).im_scale[0]
+        assert a == b
+
 
 class TestLoader:
     def test_loader_alternates_and_shuts_down(self, synth_dataset):

@@ -216,6 +216,10 @@ class TestLRPolicy:
         assert abs(get_lr_at_iter(s, 100000) - 0.01) < 1e-7
         assert abs(get_lr_at_iter(s, 180000) - 0.001) < 1e-8
         assert abs(get_lr_at_iter(s, 240000) - 0.0001) < 1e-9
+        # at/past MAX_ITER the reference's get_step_index falls through to
+        # the last enumerate value -> same LR as the final step region
+        assert abs(get_lr_at_iter(s, s.MAX_ITER) - 0.0001) < 1e-9
+        assert abs(get_lr_at_iter(s, s.MAX_ITER + 5) - 0.0001) < 1e-9
 
     def test_momentum_correction_trigger(self):
         cfg = load_cfg(
