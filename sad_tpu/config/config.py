@@ -47,6 +47,9 @@ class TrainConfig:
     GT_MIN_AREA: int = -1
     CROWD_FILTER_THRESH: float = 0.7
     FREEZE_AT: int = 2  # ResNet freeze stage (ref: ResNet.py:88 freeze_at)
+    # freeze the whole conv body (ref: config.py:189 TRAIN.FREEZE_CONV_BODY,
+    # model_builder.py:200-207 StopGradient on blob_conv)
+    FREEZE_CONV_BODY: bool = False
     # Fraction coming from proposals vs gt for R-CNN style training (unused by
     # RetinaNet; retained for the inherited surface).
     FG_THRESH: float = 0.5
@@ -572,8 +575,49 @@ def merge_cfg_from_list(cfg: Config, opts: List[str]) -> Config:
     return merge_cfg_from_dict(cfg, d)
 
 
+# Deprecated MODEL.TYPE spellings the reference still resolves via get_func
+# (model_builder.py:511-744); behavior is driven by cfg flags, plus
+# TRAIN.FREEZE_CONV_BODY / MODEL.RPN_ONLY implied by some names.
+_TYPE_ALIASES = {"rfcn": "rfcn", "rpn": "rpn"}
+for _t in (
+    "fast_rcnn", "faster_rcnn", "mask_rcnn", "keypoint_rcnn",
+    "mask_and_keypoint_rcnn", "fast_rcnn_frozen_features",
+    "mask_rcnn_frozen_features", "keypoint_rcnn_frozen_features",
+    "VGG_CNN_M_1024_fast_rcnn", "VGG16_fast_rcnn", "ResNet50_fast_rcnn",
+    "ResNet101_fast_rcnn", "ResNet50_fast_rcnn_frozen_features",
+    "ResNet101_fast_rcnn_frozen_features", "VGG16_faster_rcnn",
+    "ResNet50_faster_rcnn", "ResNet101_faster_rcnn",
+):
+    _TYPE_ALIASES[_t] = "generalized_rcnn"
+for _t in (
+    "fpn_rpn", "rpn_frozen_features", "fpn_rpn_frozen_features",
+    "VGG_CNN_M_1024_rpn", "VGG16_rpn", "ResNet50_rpn_conv4",
+    "ResNet101_rpn_conv4", "VGG_CNN_M_1024_rpn_frozen_features",
+    "VGG16_rpn_frozen_features", "ResNet50_rpn_conv4_frozen_features",
+    "ResNet101_rpn_conv4_frozen_features",
+):
+    _TYPE_ALIASES[_t] = "rpn"
+for _t in ("ResNet50_rfcn", "ResNet101_rfcn"):
+    _TYPE_ALIASES[_t] = "rfcn"
+
+
 def assert_and_infer_cfg(cfg: Config) -> Config:
-    """Validate cross-field invariants (ref: config.py:1064-1084)."""
+    """Validate cross-field invariants (ref: config.py:1064-1084) and
+    normalize deprecated MODEL.TYPE spellings."""
+    mt = cfg.MODEL.TYPE
+    if mt in _TYPE_ALIASES and _TYPE_ALIASES[mt] != mt:
+        model = replace(cfg.MODEL, TYPE=_TYPE_ALIASES[mt])
+        if mt == "mask_rcnn" and not cfg.MODEL.MASK_ON:
+            model = replace(model, MASK_ON=True)
+        if mt == "keypoint_rcnn" and not cfg.MODEL.KEYPOINTS_ON:
+            model = replace(model, KEYPOINTS_ON=True)
+        if mt == "mask_and_keypoint_rcnn":
+            model = replace(model, MASK_ON=True, KEYPOINTS_ON=True)
+        cfg = replace(cfg, MODEL=model)
+        if "frozen_features" in mt and not cfg.TRAIN.FREEZE_CONV_BODY:
+            cfg = replace(
+                cfg, TRAIN=replace(cfg.TRAIN, FREEZE_CONV_BODY=True)
+            )
     if cfg.RETINANET.RETINANET_ON:
         if not cfg.FPN.FPN_ON:
             raise ConfigError("RetinaNet requires FPN")

@@ -30,22 +30,69 @@ def create_model(cfg: Config) -> RetinaNet:
     student cfg (the reference's NameScope('teacher') trick,
     model_builder.py:373-411, is unnecessary with explicit param pytrees).
     """
-    mtype = cfg.MODEL.TYPE
+    from sad_tpu.config.config import _TYPE_ALIASES
+
+    # deprecated type spellings normalize at assert_and_infer_cfg; accept
+    # them here too for configs assembled without load_cfg
+    mtype = _TYPE_ALIASES.get(cfg.MODEL.TYPE, cfg.MODEL.TYPE)
     if mtype in ("retinanet", "distillation"):
         return RetinaNet(arch_from_config(cfg))
     if mtype in ("generalized_rcnn", "rpn"):
         if cfg.FPN.FPN_ON:
             from .rcnn import GeneralizedRCNN
 
+            _check_head_strings_fpn(cfg)
             return GeneralizedRCNN(cfg)
         from .single_scale import SingleScaleRCNN
 
+        _check_head_strings_c4(cfg)
         return SingleScaleRCNN(cfg)
     if mtype == "rfcn":
         from .single_scale import SingleScaleRCNN
 
         return SingleScaleRCNN(cfg)
     raise NotImplementedError(f"MODEL.TYPE={mtype!r} not implemented in sad_tpu")
+
+
+def _check_head_strings_fpn(cfg: Config) -> None:
+    """Strict head-string dispatch (the reference resolves these via get_func
+    import, model_builder.py:160; an unknown string must fail, not silently
+    build the default head). head_builder.* is the reference configs' legacy
+    alias for fast_rcnn_heads.add_roi_2mlp_head (12_2017_baselines)."""
+    if cfg.FAST_RCNN.ROI_BOX_HEAD not in (
+        "fast_rcnn_heads.add_roi_2mlp_head",
+        "head_builder.add_roi_2mlp_head",
+    ):
+        raise NotImplementedError(
+            f"FPN box head {cfg.FAST_RCNN.ROI_BOX_HEAD!r} "
+            "(C4 heads go through SingleScaleRCNN)"
+        )
+    if cfg.MODEL.MASK_ON and "v1up" not in cfg.MRCNN.ROI_MASK_HEAD:
+        raise NotImplementedError(
+            f"FPN mask head {cfg.MRCNN.ROI_MASK_HEAD!r} "
+            "(v0up/v0upshare are C4 heads)"
+        )
+    if cfg.MODEL.KEYPOINTS_ON and "v1convX" not in cfg.KRCNN.ROI_KEYPOINTS_HEAD:
+        raise NotImplementedError(
+            f"keypoint head {cfg.KRCNN.ROI_KEYPOINTS_HEAD!r}"
+        )
+
+
+def _check_head_strings_c4(cfg: Config) -> None:
+    if not (
+        "ResNet" in cfg.FAST_RCNN.ROI_BOX_HEAD
+        or "resnet" in cfg.FAST_RCNN.ROI_BOX_HEAD
+        or "VGG16" in (cfg.MODEL.CONV_BODY or "")
+        or "VGG_CNN" in (cfg.MODEL.CONV_BODY or "")
+        or "2mlp" in cfg.FAST_RCNN.ROI_BOX_HEAD
+    ):
+        raise NotImplementedError(
+            f"C4 box head {cfg.FAST_RCNN.ROI_BOX_HEAD!r}"
+        )
+    if cfg.MODEL.MASK_ON and not (
+        "v0up" in cfg.MRCNN.ROI_MASK_HEAD or "v1up" in cfg.MRCNN.ROI_MASK_HEAD
+    ):
+        raise NotImplementedError(f"C4 mask head {cfg.MRCNN.ROI_MASK_HEAD!r}")
 
 
 def init_model_params(model, rng: jax.Array, image_shape) -> Any:
@@ -106,15 +153,27 @@ def _is_frozen_stage(path: Tuple[str, ...], freeze_at: int) -> bool:
     )
 
 
-def trainable_mask(params: Any, freeze_at: int = 2) -> Any:
+def trainable_mask(
+    params: Any, freeze_at: int = 2, freeze_conv_body: bool = False
+) -> Any:
     """True where a param is trainable.
 
     Frozen: AffineChannel scale/bias everywhere (affine_channel_op.cc:70-80 —
-    gradient flows only to X) and the FREEZE_AT backbone stages."""
-    return _mask_tree(
-        params,
-        lambda p: not _is_affine_channel(p) and not _is_frozen_stage(p, freeze_at),
-    )
+    gradient flows only to X) and the FREEZE_AT backbone stages. With
+    freeze_conv_body (TRAIN.FREEZE_CONV_BODY / the deprecated
+    *_frozen_features model types), the whole conv body incl. FPN is frozen —
+    the reference StopGradients every blob_conv output
+    (model_builder.py:200-207)."""
+    body_names = ("fpn", "body")
+
+    def ok(p: Tuple[str, ...]) -> bool:
+        if _is_affine_channel(p) or _is_frozen_stage(p, freeze_at):
+            return False
+        if freeze_conv_body and p and p[0] in body_names:
+            return False
+        return True
+
+    return _mask_tree(params, ok)
 
 
 def bias_mask(params: Any) -> Any:

@@ -87,9 +87,11 @@ def spatial_sharding(mesh: Mesh) -> NamedSharding:
 def shard_batch_tree(batch, mesh: Mesh):
     """Apply leading-dim data sharding to every array in a batch pytree.
 
-    Arrays whose leading dim is not divisible by the data axis (e.g. the
+    1-D arrays whose leading dim is not divisible by the data axis (e.g. the
     per-group fg_num vector when groups < devices) are replicated instead —
-    they are tiny, and XLA reshards them where needed."""
+    they are tiny, and XLA reshards them where needed. A non-divisible
+    array of rank >= 2 is a misshaped batch (it would silently train
+    replicated), so it raises instead."""
     s = batch_sharding(mesh)
     rep = replicated_sharding(mesh)
     n = int(np.prod([mesh.shape[a] for a in mesh.axis_names if a != "model"]))
@@ -98,6 +100,12 @@ def shard_batch_tree(batch, mesh: Mesh):
         arr = np.asarray(x) if not hasattr(x, "shape") else x
         if arr.ndim >= 1 and arr.shape[0] % n == 0 and arr.shape[0] > 0:
             return jax.device_put(x, s)
+        if arr.ndim >= 2:
+            raise ValueError(
+                f"batch array of shape {arr.shape} cannot be data-sharded "
+                f"over {n} devices (leading dim not divisible); fix the "
+                "batch size instead of training replicated"
+            )
         return jax.device_put(x, rep)
 
     return jax.tree_util.tree_map(put, batch)

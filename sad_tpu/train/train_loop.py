@@ -123,13 +123,22 @@ def train_model(
 
     # ----- device mesh: with >1 chips, replicate params over the 'data'
     # axis and shard batches (the reference's per-GPU replication +
-    # broadcast, as shardings; SURVEY.md §5.8)
+    # broadcast, as shardings; SURVEY.md §5.8). The data axis must divide
+    # the global batch, so use gcd(batch, devices) devices — e.g. a 2-image
+    # debug batch on an 8-chip host trains on 2 chips rather than silently
+    # replicating on all 8.
+    import math as _math
+
+    batch_images = getattr(
+        loader, "batch_images", cfg.TRAIN.IMS_PER_BATCH * cfg.NUM_GPUS
+    ) if not own_loader else (cfg.TRAIN.IMS_PER_BATCH * cfg.NUM_GPUS)
     mesh = None
-    if jax.device_count() > 1:
+    n_data = _math.gcd(batch_images, jax.device_count())
+    if n_data > 1:
         from sad_tpu.parallel import create_mesh
         from sad_tpu.parallel.mesh import replicated_sharding
 
-        mesh = create_mesh()
+        mesh = create_mesh(n_data=n_data, devices=jax.devices()[:n_data])
         rep = replicated_sharding(mesh)
         params = jax.device_put(params, rep)
         velocity = jax.device_put(velocity, rep)
@@ -218,7 +227,8 @@ def train_model(
                     mstate = rescale_momentum(
                         MomentumSGDState(state.velocity),
                         corr,
-                        trainable_mask(state.params, cfg.TRAIN.FREEZE_AT),
+                        trainable_mask(state.params, cfg.TRAIN.FREEZE_AT,
+                                       cfg.TRAIN.FREEZE_CONV_BODY),
                     )
                     state = TrainState(state.params, mstate.velocity)
                     logger.info("Scaled momentum by %.6f at iter %d", corr, it)

@@ -273,7 +273,9 @@ def make_train_step(
             return total, metrics
 
         grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params)
-        t_mask = trainable_mask(state.params, cfg.TRAIN.FREEZE_AT)
+        t_mask = trainable_mask(
+            state.params, cfg.TRAIN.FREEZE_AT, cfg.TRAIN.FREEZE_CONV_BODY
+        )
         b_mask = bias_mask(state.params)
         new_params, new_momentum = momentum_sgd_update(
             state.params,

@@ -75,3 +75,60 @@ class TestReferenceYamlSurface:
                 except ConfigError as e:
                     assert key in str(e), (rel, str(e))
                     raise
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(REF_CONFIGS), reason="reference configs not on disk"
+)
+def test_every_loadable_yaml_builds_a_model():
+    """The head/body strings of every loadable reference YAML must resolve
+    to a constructible sad_tpu model (the reference's get_func matrix,
+    model_builder.py:160)."""
+    from sad_tpu.models import create_model
+
+    failures = []
+    for y in _all_yamls():
+        rel = os.path.relpath(y, REF_CONFIGS)
+        if rel in EXPECTED_BAD_KEYS:
+            continue
+        cfg = load_cfg(y)
+        try:
+            m = create_model(cfg)
+            assert m is not None
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"{rel}: {type(e).__name__}: {e}")
+    assert not failures, "\n".join(failures)
+
+
+def test_deprecated_type_aliases_normalize():
+    """TYPE: mask_rcnn etc. are deprecated spellings the reference still
+    resolves (model_builder.py:511-744); they must normalize with implied
+    flags."""
+    from sad_tpu.config.config import assert_and_infer_cfg, merge_cfg_from_dict
+    from sad_tpu.config import Config
+
+    cfg = assert_and_infer_cfg(
+        merge_cfg_from_dict(Config(), {"MODEL": {"TYPE": "mask_rcnn"}})
+    )
+    assert cfg.MODEL.TYPE == "generalized_rcnn" and cfg.MODEL.MASK_ON
+    cfg = assert_and_infer_cfg(
+        merge_cfg_from_dict(
+            Config(), {"MODEL": {"TYPE": "fast_rcnn_frozen_features"}}
+        )
+    )
+    assert cfg.MODEL.TYPE == "generalized_rcnn"
+    assert cfg.TRAIN.FREEZE_CONV_BODY
+
+
+def test_freeze_conv_body_mask():
+    """TRAIN.FREEZE_CONV_BODY freezes the whole conv body + FPN (ref:
+    model_builder.py:200-207 StopGradient on every blob_conv)."""
+    from sad_tpu.models.model_builder import trainable_mask
+
+    params = {
+        "fpn": {"conv1": {"kernel": 1, "bias": 1}},
+        "box_head": {"fc6": {"kernel": 1, "bias": 1}},
+    }
+    m = trainable_mask(params, freeze_at=0, freeze_conv_body=True)
+    assert not m["fpn"]["conv1"]["kernel"] and not m["fpn"]["conv1"]["bias"]
+    assert m["box_head"]["fc6"]["kernel"] and m["box_head"]["fc6"]["bias"]

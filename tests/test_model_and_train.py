@@ -341,6 +341,18 @@ class TestJointTrainStep:
         new_state, metrics = step(state, tp_r, batch_sh, jnp.float32(0.01))
         assert np.isfinite(float(metrics["loss"]))
 
+    def test_shard_batch_tree_rejects_misshaped_batch(self):
+        from sad_tpu.parallel import create_mesh
+        from sad_tpu.parallel.mesh import shard_batch_tree
+
+        mesh = create_mesh()
+        # rank>=2 with non-divisible leading dim: a misshaped batch
+        with pytest.raises(ValueError, match="cannot be data-sharded"):
+            shard_batch_tree({"data": jnp.zeros((3, 4, 4, 3))}, mesh)
+        # 1-D non-divisible (per-group fg_num) still replicates fine
+        out = shard_batch_tree({"fg_num": jnp.ones((3,))}, mesh)
+        assert out["fg_num"].shape == (3,)
+
 
 class TestMultiSliceMesh:
     def test_dcn_data_mesh_step(self):
