@@ -172,12 +172,15 @@ def fused_distill_losses(
     batch: Dict[str, Any],
     n_groups: int,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """Fused-Pallas path: focal + adaptive-distill per level in ONE kernel
-    pass over the dense grid (sad_tpu.ops.pallas_losses), with per-row
-    normalizers carrying the per-group Np. Numerically identical to
-    retinanet_losses + distill_losses (see tests/test_pallas_losses.py);
-    the bbox loss (much smaller grid) stays on the jnp path."""
-    from sad_tpu.ops.pallas_losses import fused_cls_losses
+    """Fused-Pallas path: focal + adaptive-distill + the PowSum normalizer
+    per level in ONE kernel pass over the dense grid
+    (sad_tpu.ops.pallas_losses) — the separate pow_sum reduction over the
+    teacher probs disappears entirely; per-group 1/Np is applied on (G,)
+    scalars afterwards (both losses are linear in 1/Np). Numerically
+    identical to retinanet_losses + distill_losses
+    (see tests/test_pallas_losses.py); the bbox loss (much smaller grid)
+    stays on the jnp path."""
+    from sad_tpu.ops.pallas_losses import fused_cls_losses_raw
 
     d = cfg.DISTILLATION
     r = cfg.RETINANET
@@ -186,31 +189,34 @@ def fused_distill_losses(
     distill_scale = loss_scale * d.TEMPERATURE * d.TEMPERATURE
     metrics: Dict[str, jnp.ndarray] = {}
     total = jnp.float32(0.0)
-    ims = next(iter(batch["labels"].values())).shape[0] // n_groups
+    fg_num = batch["fg_num"]  # (G,)
 
-    if d.ADAPTIVE_NORMALIZER:
-        norms = jax.vmap(lambda *probs: pow_sum(probs, d.LOGITS_POWER))(
-            *[_group_view(teacher_probs[lvl], n_groups) for lvl in cfg.fpn_levels()]
+    raw = {
+        lvl: fused_cls_losses_raw(
+            _split_anchor_axis(student_out["cls_logits"][lvl], a),
+            _split_anchor_axis(teacher_probs[lvl], a),
+            batch["labels"][lvl],
+            n_groups,
+            r.LOSS_GAMMA, r.LOSS_ALPHA,
+            d.LOSS_GAMMA, d.LOSS_ALPHA, d.LOSS_BETA, d.IGNORED_LABEL,
+            d.LOGITS_POWER, d.ADAPTIVE_NORMALIZER,
         )
+        for lvl in cfg.fpn_levels()
+    }
+    if d.ADAPTIVE_NORMALIZER:
+        # PowSum over ALL levels' teacher probs, per group (ref:
+        # retinanet_heads.py:320-328) — from the kernel's third output
+        norms = sum(raw[lvl][2] for lvl in cfg.fpn_levels())
         metrics["distill_normalizer"] = jnp.mean(norms)
     else:
-        norms = batch["fg_num"]
+        norms = fg_num
 
-    # per-image normalizer columns (B, 1, 1, 1) from per-group values
-    fg_rows = jnp.repeat(batch["fg_num"], ims)[:, None, None, None]
-    dn_rows = jnp.repeat(norms, ims)[:, None, None, None]
-
-    fg_num = batch["fg_num"]
+    fg_np = jnp.maximum(fg_num, 1.0)
+    dn_np = jnp.maximum(norms, 1.0)
     for lvl in cfg.fpn_levels():
-        logits = _split_anchor_axis(student_out["cls_logits"][lvl], a)
-        t_prob = _split_anchor_axis(teacher_probs[lvl], a)
-        labels = batch["labels"][lvl]
-        focal, distill = fused_cls_losses(
-            logits, t_prob, labels, fg_rows, dn_rows,
-            r.LOSS_GAMMA, r.LOSS_ALPHA, loss_scale,
-            d.LOSS_GAMMA, d.LOSS_ALPHA, d.LOSS_BETA, d.IGNORED_LABEL,
-            distill_scale,
-        )
+        focal_raw, distill_raw, _ = raw[lvl]
+        focal = jnp.float32(loss_scale) * jnp.sum(focal_raw / fg_np)
+        distill = jnp.float32(distill_scale) * jnp.sum(distill_raw / dn_np)
         bbox = jax.vmap(
             lambda p, t, m, s: select_smooth_l1_loss(
                 p, t, m, s, r.BBOX_REG_BETA, loss_scale * r.BBOX_REG_WEIGHT

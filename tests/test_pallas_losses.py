@@ -138,3 +138,62 @@ def test_train_step_fused_matches_unfused():
         outs["fused"][0].params,
         outs["plain"][0].params,
     )
+
+
+def test_raw_per_group_with_inkernel_powsum():
+    """fused_cls_losses_raw: per-group raw sums + the PowSum normalizer in
+    the same pass; fwd+bwd vs the reference-exact per-group jnp composition
+    (including the adaptive normalizer summed across two 'levels')."""
+    from sad_tpu.ops.pallas_losses import fused_cls_losses_raw
+
+    G = 2
+    l1, p1, t1 = _case(11, n=4, h=6, w=6, a=3)  # M=432, packed path
+    l2, p2, t2 = _case(12, n=4, h=3, w=3, a=3)  # M=108, unpacked fallback
+    fg = jnp.asarray([7.0, 11.0], jnp.float32)
+    POW = 1.8
+
+    def fused(x1, x2):
+        r1 = fused_cls_losses_raw(
+            x1, p1, t1, G, GAMMA_F, ALPHA_F, GAMMA_D, ALPHA_D, BETA_D, IGN, POW, True
+        )
+        r2 = fused_cls_losses_raw(
+            x2, p2, t2, G, GAMMA_F, ALPHA_F, GAMMA_D, ALPHA_D, BETA_D, IGN, POW, True
+        )
+        norms = r1[2] + r2[2]  # cross-level adaptive normalizer
+        fg_np, dn_np = jnp.maximum(fg, 1.0), jnp.maximum(norms, 1.0)
+        total = jnp.float32(0.0)
+        for r in (r1, r2):
+            total = total + SCALE_F * jnp.sum(r[0] / fg_np)
+            total = total + SCALE_D * jnp.sum(r[1] / dn_np)
+        return total, norms
+
+    def _gv(x):
+        return x.reshape((G, x.shape[0] // G) + x.shape[1:])
+
+    def ref(x1, x2):
+        norms = jax.vmap(lambda a_, b_: L.pow_sum([a_, b_], POW))(_gv(p1), _gv(p2))
+        total = jnp.float32(0.0)
+        for x, p, t in ((x1, p1, t1), (x2, p2, t2)):
+            f = jax.vmap(
+                lambda xx, tt, ss: L.sigmoid_focal_loss(
+                    xx, tt, ss, GAMMA_F, ALPHA_F, SCALE_F
+                )
+            )(_gv(x), _gv(t), fg)
+            d = jax.vmap(
+                lambda xx, pp, tt, nn: L.sigmoid_adaptive_distill_loss(
+                    xx, pp, tt, nn, GAMMA_D, ALPHA_D, BETA_D, IGN, SCALE_D
+                )
+            )(_gv(x), _gv(p), _gv(t), norms)
+            total = total + jnp.sum(f) + jnp.sum(d)
+        return total, norms
+
+    (v1, n1), (g1a, g1b) = jax.jit(
+        jax.value_and_grad(fused, argnums=(0, 1), has_aux=True)
+    )(l1, l2)
+    (v2, n2), (g2a, g2b) = jax.value_and_grad(ref, argnums=(0, 1), has_aux=True)(
+        l1, l2
+    )
+    np.testing.assert_allclose(float(v1), float(v2), rtol=RTOL)
+    np.testing.assert_allclose(np.asarray(n1), np.asarray(n2), rtol=RTOL)
+    np.testing.assert_allclose(np.asarray(g1a), np.asarray(g2a), rtol=2e-3, atol=ATOL)
+    np.testing.assert_allclose(np.asarray(g1b), np.asarray(g2b), rtol=2e-3, atol=ATOL)
