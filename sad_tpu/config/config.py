@@ -266,7 +266,9 @@ class FastRCNNConfig:
     CONV_HEAD_DIM: int = 256
     NUM_STACKED_CONVS: int = 4
     ROI_XFORM_METHOD: str = "RoIAlign"
-    ROI_XFORM_RESOLUTION: int = 7
+    # 14 matches the reference default (config.py:669) — the C4 family
+    # relies on it; every FPN YAML overrides to 7 explicitly
+    ROI_XFORM_RESOLUTION: int = 14
     ROI_XFORM_SAMPLING_RATIO: int = 2  # 0 (adaptive) is not traceable on TPU
     CONV_INIT: str = "GaussianFill"
 
@@ -276,9 +278,11 @@ class MRCNNConfig:
     """Mask R-CNN head options (ref: config.py MRCNN)."""
 
     ROI_MASK_HEAD: str = "mask_rcnn_heads.mask_rcnn_fcn_head_v1up4convs"
-    RESOLUTION: int = 28
+    # reference defaults (config.py:753,759): 14/7; the FPN mask YAMLs
+    # override to 28/14 explicitly
+    RESOLUTION: int = 14
     ROI_XFORM_METHOD: str = "RoIAlign"
-    ROI_XFORM_RESOLUTION: int = 14
+    ROI_XFORM_RESOLUTION: int = 7
     ROI_XFORM_SAMPLING_RATIO: int = 2
     DIM_REDUCED: int = 256
     DILATION: int = 1
@@ -297,12 +301,14 @@ class KRCNNConfig:
     ROI_KEYPOINTS_HEAD: str = "keypoint_rcnn_heads.add_roi_pose_head_v1convX"
     NUM_KEYPOINTS: int = 17
     NUM_STACKED_CONVS: int = 8
-    CONV_HEAD_DIM: int = 512
+    # reference defaults (config.py:802,829,845): the keypoint YAMLs all
+    # override CONV_HEAD_DIM=512 / HEATMAP_SIZE=56 / RESOLUTION=14
+    CONV_HEAD_DIM: int = 256
     CONV_HEAD_KERNEL: int = 3
     UP_SCALE: int = 2
-    HEATMAP_SIZE: int = 56
+    HEATMAP_SIZE: int = -1
     ROI_XFORM_METHOD: str = "RoIAlign"
-    ROI_XFORM_RESOLUTION: int = 14
+    ROI_XFORM_RESOLUTION: int = 7
     ROI_XFORM_SAMPLING_RATIO: int = 2
     LOSS_WEIGHT: float = 1.0
     NORMALIZE_BY_VISIBLE_KEYPOINTS: bool = True
@@ -351,6 +357,19 @@ class DistillationConfig:
 
 
 @dataclass(frozen=True)
+class DataLoaderConfig:
+    """Host data pipeline (ref: config.py:205-210 DATA_LOADER).
+
+    NUM_THREADS mirrors the reference's loader thread count. NUM_PROCESSES
+    is a TPU-side addition: >0 selects the multi-process minibatch builder
+    (data/mp_loader.py) — the threaded builder is GIL-bound and cannot feed
+    a chip that consumes >100 imgs/s; -1 auto-sizes to host cores - 1."""
+
+    NUM_THREADS: int = 4
+    NUM_PROCESSES: int = 0
+
+
+@dataclass(frozen=True)
 class Config:
     """Top-level immutable config (one per model; teacher and student are two
     separate instances — replacing the reference's register_teacher /
@@ -368,6 +387,7 @@ class Config:
     KRCNN: KRCNNConfig = field(default_factory=KRCNNConfig)
     SOLVER: SolverConfig = field(default_factory=SolverConfig)
     DISTILLATION: DistillationConfig = field(default_factory=DistillationConfig)
+    DATA_LOADER: DataLoaderConfig = field(default_factory=DataLoaderConfig)
 
     NUM_GPUS: int = 1  # number of device-groups; on TPU = mesh data-axis size
     DEDUP_BOXES: float = 1.0 / 16.0
@@ -454,7 +474,6 @@ _INERT_SECTIONS = {"RFCN", "VGG", "VGG_CNN_M_1024"}
 
 # Top-level scalar keys from the reference accepted but unused on TPU.
 _INERT_TOP_KEYS = {
-    "DATA_LOADER",
     "DEBUG",
     "MEMONGER",
     "MEMONGER_SHARE_ACTIVATIONS",

@@ -63,7 +63,7 @@ class _Stream:
         self._shuffled[key] = pool
         self._cursors[key] = 0
 
-    def next_batch(self) -> List[dict]:
+    def next_batch_indices(self) -> List[int]:
         with self._lock:
             # prefer whichever orientation pool has more remaining
             keys = [k for k in ("l", "p") if len(self._pool(k)) >= 1]
@@ -77,7 +77,10 @@ class _Stream:
                     self._reshuffle(key)
                 idxs.append(self._shuffled[key][self._cursors[key]])
                 self._cursors[key] += 1
-        return [self.roidb[i] for i in idxs]
+        return idxs
+
+    def next_batch(self) -> List[dict]:
+        return [self.roidb[i] for i in self.next_batch_indices()]
 
 
 class TrainingLoader:

@@ -1,0 +1,276 @@
+"""Multi-process host data pipeline.
+
+The threaded TrainingLoader (data/loader.py) is GIL-bound: minibatch building
+is numpy-hot (resize, anchor labeling) and measures ~13 imgs/s per host core,
+while one TPU chip consumes >100 imgs/s on the joint SAD step. The reference
+sidesteps the GIL because cv2 releases it (lib/roi_data/loader.py:66-115,
+4 loader threads were enough for Caffe2); our equivalent is real processes.
+
+Design: worker processes each hold a private copy of the roidb(s) and the
+minibatch builder (shipped once at spawn). A dispatcher thread in the parent
+samples batch index lists from the SAME epoch-shuffled, aspect-grouped
+streams as the threaded loader (loader._Stream) and assigns the SAME
+deterministic per-batch seeds, so a 1-worker run is batch-for-batch identical
+to a 1-thread TrainingLoader. Built batches (pytrees of numpy arrays) return
+through a multiprocessing queue — pickle-5 buffer frames make this a memcpy
+through an OS pipe — into per-stream host queues; the consumer-facing
+surface (get_next_batch with strict labeled/unlabeled parity alternation,
+queue_depth, shutdown, context manager) matches TrainingLoader exactly, so
+DevicePrefetcher and the train loop are oblivious.
+
+Semi-supervised semantics preserved from the reference: the dispatcher
+fills whichever stream is further behind (lib/roi_data/loader.py:109-115);
+get_next_batch strictly alternates by batch parity (loader.py:140-146).
+
+Worker errors are shipped back as formatted tracebacks and re-raised on the
+consumer thread after already-built batches drain (matching the threaded
+loader's error propagation). Uses the 'spawn' start method: the parent has
+live JAX/TPU client threads that must not be forked.
+"""
+
+from __future__ import annotations
+
+import itertools
+import multiprocessing as mp
+import os
+import queue
+import threading
+import traceback
+from typing import Dict, List, Optional
+
+from sad_tpu.config import Config
+
+from .loader import _Stream
+from .minibatch import RetinaNetMinibatchBuilder
+
+_SENTINEL = "__stop__"
+_ERROR = "__error__"
+
+# worker-global state, set once by _worker_init (spawned processes)
+_W: dict = {}
+
+
+def _worker_init(builder, roidbs):
+    # workers only do numpy; make sure any library that honors these
+    # doesn't oversubscribe cores under the parallel pool
+    os.environ.setdefault("OMP_NUM_THREADS", "1")
+    _W["builder"] = builder
+    _W["roidbs"] = roidbs
+
+
+def _worker_loop(task_q, result_q, builder, roidbs):
+    _worker_init(builder, roidbs)
+    while True:
+        task = task_q.get()
+        if task == _SENTINEL:
+            return
+        stream, indices, seed = task
+        try:
+            entries = [_W["roidbs"][stream][i] for i in indices]
+            built = _W["builder"].build(entries, seed=seed)
+            batch = built.as_pytree() if hasattr(built, "as_pytree") else built
+            result_q.put((stream, batch))
+        except BaseException:  # noqa: BLE001 — ship to parent
+            result_q.put((_ERROR, traceback.format_exc()))
+            return
+
+
+class MultiprocessTrainingLoader:
+    """Process-pool minibatch building behind the TrainingLoader interface."""
+
+    def __init__(
+        self,
+        cfg: Config,
+        roidb: List[dict],
+        teacher_cfg: Optional[Config] = None,
+        unlabeled_roidb: Optional[List[dict]] = None,
+        batch_images: int = None,
+        num_workers: int = None,
+        queue_capacity: int = 4,
+        seed: int = 3,
+        builder=None,
+    ):
+        self.cfg = cfg
+        self.builder = builder or RetinaNetMinibatchBuilder(cfg, teacher_cfg)
+        self.batch_images = batch_images or (
+            cfg.TRAIN.IMS_PER_BATCH * cfg.NUM_GPUS
+        )
+        self.num_workers = num_workers or max(1, (os.cpu_count() or 2) - 1)
+        self._capacity = queue_capacity
+        self._seed = seed
+        self._build_counter = itertools.count()
+        self.labeled = _Stream(roidb, self.batch_images, seed)
+        self.unlabeled = (
+            _Stream(unlabeled_roidb, self.batch_images, seed + 1)
+            if unlabeled_roidb
+            else None
+        )
+        self._streams = {"labeled": self.labeled}
+        if self.unlabeled:
+            self._streams["unlabeled"] = self.unlabeled
+        self._roidbs = {"labeled": roidb}
+        if unlabeled_roidb:
+            self._roidbs["unlabeled"] = unlabeled_roidb
+
+        self._queues: Dict[str, queue.Queue] = {
+            name: queue.Queue(queue_capacity) for name in self._streams
+        }
+        self._inflight = {name: 0 for name in self._streams}
+        self._inflight_lock = threading.Lock()
+        self._stop = threading.Event()
+        self._error: Optional[BaseException] = None
+        self._batch_parity = 0
+
+        self._ctx = mp.get_context("spawn")
+        self._task_q = self._ctx.Queue()
+        self._result_q = self._ctx.Queue()
+        self._procs: List[mp.Process] = []
+        self._dispatcher = threading.Thread(
+            target=self._dispatch, daemon=True, name="mp-loader-dispatch"
+        )
+        self._collector = threading.Thread(
+            target=self._collect, daemon=True, name="mp-loader-collect"
+        )
+
+    # ---------------------------------------------------------------- start
+
+    def start(self, prefill: bool = False):
+        for i in range(self.num_workers):
+            p = self._ctx.Process(
+                target=_worker_loop,
+                args=(self._task_q, self._result_q, self.builder, self._roidbs),
+                daemon=True,
+                name=f"mp-loader-{i}",
+            )
+            p.start()
+            self._procs.append(p)
+        self._dispatcher.start()
+        self._collector.start()
+        if prefill:
+            import time
+
+            while (
+                any(not q.full() for q in self._queues.values())
+                and self._error is None
+                and not self._stop.is_set()
+            ):
+                time.sleep(0.05)
+        return self
+
+    # ------------------------------------------------------------- dispatch
+
+    def _lagging_stream(self) -> Optional[str]:
+        """Next stream to fill: whichever is further behind its capacity,
+        counting batches already built and batches in flight."""
+        with self._inflight_lock:
+            backlog = {
+                name: self._queues[name].qsize() + self._inflight[name]
+                for name in self._streams
+            }
+            candidates = [
+                n for n, b in backlog.items() if b < self._capacity + 1
+            ]
+            if not candidates:
+                return None
+            name = min(candidates, key=backlog.get)
+            self._inflight[name] += 1
+            return name
+
+    def _dispatch(self):
+        import time
+
+        while not self._stop.is_set():
+            name = self._lagging_stream()
+            if name is None:
+                time.sleep(0.01)
+                continue
+            stream = self._streams[name]
+            # ship indices, not entries — workers hold their own roidb copy
+            idxs = stream.next_batch_indices()
+            # identical seed schedule to the threaded loader (loader.py:148)
+            bseed = (self._seed * 1_000_003 + next(self._build_counter)) % (
+                2**31
+            )
+            self._task_q.put((name, idxs, bseed))
+
+    def _collect(self):
+        while not self._stop.is_set():
+            try:
+                kind, payload = self._result_q.get(timeout=0.5)
+            except queue.Empty:
+                continue
+            except (EOFError, OSError):
+                return
+            if kind == _ERROR:
+                self._error = RuntimeError(
+                    f"minibatch worker failed:\n{payload}"
+                )
+                self._stop.set()
+                return
+            while not self._stop.is_set():
+                try:
+                    self._queues[kind].put(payload, timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
+            with self._inflight_lock:
+                self._inflight[kind] -= 1
+
+    # ------------------------------------------------------------- consumer
+
+    def get_next_batch(self) -> Dict:
+        """Strictly alternate labeled/unlabeled by parity (ref
+        loader.py:140-146); drain built batches before surfacing an error."""
+        name = "labeled"
+        if self.unlabeled:
+            name = "labeled" if self._batch_parity % 2 == 0 else "unlabeled"
+        self._batch_parity += 1
+        while True:
+            try:
+                return self._queues[name].get_nowait()
+            except queue.Empty:
+                pass
+            if self._error is not None:
+                raise RuntimeError("minibatch worker failed") from self._error
+            try:
+                return self._queues[name].get(timeout=1.0)
+            except queue.Empty:
+                continue
+
+    def queue_depth(self) -> int:
+        return sum(q.qsize() for q in self._queues.values())
+
+    def shutdown(self):
+        self._stop.set()
+        for _ in self._procs:
+            try:
+                self._task_q.put_nowait(_SENTINEL)
+            except queue.Full:
+                pass
+        for q in self._queues.values():
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+        # drain the result pipe so workers blocked on put can exit
+        try:
+            while True:
+                self._result_q.get_nowait()
+        except (queue.Empty, EOFError, OSError):
+            pass
+        for p in self._procs:
+            p.join(timeout=2.0)
+        for p in self._procs:
+            if p.is_alive():
+                p.terminate()
+                p.join(timeout=1.0)
+        for t in (self._dispatcher, self._collector):
+            if t.is_alive():
+                t.join(timeout=2.0)
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.shutdown()

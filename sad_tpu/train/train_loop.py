@@ -116,10 +116,21 @@ def train_model(
             from sad_tpu.data.rpn_minibatch import RCNNMinibatchBuilder
 
             builder = RCNNMinibatchBuilder(cfg)
-        loader = TrainingLoader(
-            cfg, roidb, teacher_cfg if distill else None, unlabeled,
-            builder=builder,
-        ).start(prefill=True)
+        if cfg.DATA_LOADER.NUM_PROCESSES:
+            from sad_tpu.data.mp_loader import MultiprocessTrainingLoader
+
+            n_procs = cfg.DATA_LOADER.NUM_PROCESSES
+            loader = MultiprocessTrainingLoader(
+                cfg, roidb, teacher_cfg if distill else None, unlabeled,
+                builder=builder,
+                num_workers=None if n_procs < 0 else n_procs,
+            ).start(prefill=True)
+        else:
+            loader = TrainingLoader(
+                cfg, roidb, teacher_cfg if distill else None, unlabeled,
+                builder=builder,
+                num_threads=cfg.DATA_LOADER.NUM_THREADS,
+            ).start(prefill=True)
 
     # ----- device mesh: with >1 chips, replicate params over the 'data'
     # axis and shard batches (the reference's per-GPU replication +

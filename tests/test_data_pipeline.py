@@ -261,3 +261,72 @@ class TestDevicePrefetcher:
         pf.get_next_batch()
         pf.shutdown()
         assert fake.down
+
+
+class TestMultiprocessLoader:
+    """Process-pool minibatch building (data/mp_loader.py) behind the
+    TrainingLoader interface."""
+
+    def test_matches_threaded_loader_batch_for_batch(self, synth_dataset):
+        """1 worker + 1 thread consume the same _Stream order with the same
+        per-batch seed schedule -> byte-identical batches."""
+        from sad_tpu.data.mp_loader import MultiprocessTrainingLoader
+
+        cfg = tiny_train_cfg()
+        ds = CocoDataset(synth_dataset)
+        roidb = ds.get_roidb()
+        mp_loader = MultiprocessTrainingLoader(
+            cfg, roidb, batch_images=2, num_workers=1, queue_capacity=2,
+        ).start()
+        th_loader = TrainingLoader(
+            cfg, roidb, batch_images=2, num_threads=1, queue_capacity=2,
+        ).start()
+        try:
+            for _ in range(3):
+                a = mp_loader.get_next_batch()
+                b = th_loader.get_next_batch()
+                assert set(a) == set(b)
+                np.testing.assert_array_equal(a["data"], b["data"])
+                np.testing.assert_array_equal(a["fg_num"], b["fg_num"])
+                for lvl in cfg.fpn_levels():
+                    np.testing.assert_array_equal(
+                        a["labels"][lvl], b["labels"][lvl]
+                    )
+        finally:
+            mp_loader.shutdown()
+            th_loader.shutdown()
+
+    def test_alternates_streams_with_parity(self, synth_dataset):
+        from sad_tpu.data.mp_loader import MultiprocessTrainingLoader
+
+        cfg = tiny_train_cfg()
+        ds = CocoDataset(synth_dataset)
+        roidb = ds.get_roidb()
+        unlabeled = [dict(e, id=e["id"] + 100) for e in roidb]
+        loader = MultiprocessTrainingLoader(
+            cfg, roidb, None, unlabeled, batch_images=2, num_workers=2,
+            queue_capacity=2,
+        ).start()
+        try:
+            for _ in range(4):
+                b = loader.get_next_batch()
+                assert b["data"].shape[0] == 2
+        finally:
+            loader.shutdown()
+
+    def test_propagates_worker_errors(self, synth_dataset):
+        from sad_tpu.data.mp_loader import MultiprocessTrainingLoader
+
+        cfg = tiny_train_cfg()
+        ds = CocoDataset(synth_dataset)
+        roidb = ds.get_roidb()
+        for e in roidb:
+            e["image"] = "/nonexistent/path.jpg"
+        loader = MultiprocessTrainingLoader(
+            cfg, roidb, batch_images=2, num_workers=1,
+        ).start()
+        try:
+            with pytest.raises(RuntimeError):
+                loader.get_next_batch()
+        finally:
+            loader.shutdown()
