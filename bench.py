@@ -81,18 +81,27 @@ def main():
     )
     state = TrainState(sp, init_momentum_state(sp).velocity)
 
+    # Tiny LR: random-init + LR 0.01 diverges to NaN within a few steps, and
+    # a NaN parameter state is a FIXED POINT of the step — identical inputs
+    # every iteration let the serving stack memoize the whole step and the
+    # measurement becomes fiction. With finite, evolving params every
+    # iteration is real work.
+    lr = jnp.float32(1e-6)
+
     # warmup / compile
-    state, metrics = step(state, tp, batch, jnp.float32(0.01))
+    state, metrics = step(state, tp, batch, lr)
     jax.block_until_ready(metrics["loss"])
-    state, metrics = step(state, tp, batch, jnp.float32(0.01))
+    assert np.isfinite(float(metrics["loss"])), "bench step produced NaN"
+    state, metrics = step(state, tp, batch, lr)
     jax.block_until_ready(metrics["loss"])
 
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
-        state, metrics = step(state, tp, batch, jnp.float32(0.01))
+        state, metrics = step(state, tp, batch, lr)
     jax.block_until_ready(metrics["loss"])
     dt = time.perf_counter() - t0
+    assert np.isfinite(float(metrics["loss"])), "bench step produced NaN"
 
     imgs_per_sec = n_images * iters / dt
     baseline = 33.1 / 8.0  # reference plain R-50 per-GPU imgs/s

@@ -53,6 +53,15 @@ def main(argv=None):
             output_dir=get_output_dir(cfg, training=False),
         )
         logger.info("Eval results: %s", results)
+        if cfg.EXPECTED_RESULTS:
+            # post-training quality gate (ref: lib/core/config.py:966-973 +
+            # task_evaluation.check_expected_results) — a regression in the
+            # train->eval loop fails the run loudly
+            from sad_tpu.eval.task_evaluation import check_expected_results
+
+            check_expected_results(
+                cfg, {cfg.TEST.DATASETS[0]: {"box": results}}
+            )
 
 
 if __name__ == "__main__":

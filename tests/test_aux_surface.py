@@ -135,3 +135,21 @@ class TestVOCDataset:
                  "bbox": [10, 20, 40, 40], "score": 0.9}]
         res = voc_eval_boxes(gt, dets)
         assert res["mAP"] == pytest.approx(1.0)
+
+
+def test_net_drawer_writes_dot(tmp_path):
+    """tools/net_drawer: the net-visualization devtool analogue
+    (caffe2/python/net_drawer.py GetPydotGraph) writes a renderable dot
+    graph with body->FPN->head wiring."""
+    from sad_tpu.tools.net_drawer import main
+
+    out = str(tmp_path / "m.dot")
+    main([
+        "--cfg",
+        "/root/reference/detectron/configs/focal_distillation/"
+        "retinanet_R-50-FPN_distillation.yaml",
+        "--out", out, "TRAIN.WEIGHTS", "",
+    ])
+    text = open(out).read()
+    assert text.startswith("digraph")
+    assert "->" in text and "params" in text
