@@ -250,12 +250,25 @@ def assign_retinanet_labels(
     fg_pre = np.zeros((total,), dtype=bool)
 
     if len(gt_boxes) > 0:
-        iou = _assignment_iou(flat, gt_boxes)
-        a2g_argmax = iou.argmax(axis=1)
-        a2g_max = iou[np.arange(total), a2g_argmax]
-        g2a_max = iou.max(axis=0)
-        # every anchor tied at a gt's max overlap (including ties)
-        tie_rows = np.where((iou == g2a_max[None, :]).any(axis=1))[0]
+        # fused native pass when available (one C++ sweep replaces the IoU
+        # matrix + 4 numpy reduction passes); identical f32 semantics
+        from sad_tpu.native import assign_overlaps as native_assign
+
+        fused = None
+        try:
+            fused = native_assign(flat, gt_boxes)
+        except Exception:
+            fused = None
+        if fused is not None:
+            a2g_max, a2g_argmax, tie_mask = fused
+        else:
+            iou = _assignment_iou(flat, gt_boxes)
+            a2g_argmax = iou.argmax(axis=1)
+            a2g_max = iou[np.arange(total), a2g_argmax]
+            g2a_max = iou.max(axis=0)
+            # every anchor tied at a gt's max overlap (including ties)
+            tie_mask = (iou == g2a_max[None, :]).any(axis=1)
+        tie_rows = np.where(tie_mask)[0]
         labels[tie_rows] = gt_classes[a2g_argmax[tie_rows]]
         over = a2g_max >= positive_overlap
         labels[over] = gt_classes[a2g_argmax[over]]

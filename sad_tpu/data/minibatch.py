@@ -71,6 +71,40 @@ def compute_im_scale(h: int, w: int, target_size: int, max_size: int) -> float:
     return scale
 
 
+def resize_bgr_u8(im_bgr: np.ndarray, scale: float) -> np.ndarray:
+    """Bilinear uint8 resize (shared by every normalization stream — the
+    teacher sees the student's geometry, only pixel normalization differs,
+    ref minibatch.py:74-82)."""
+    new_w = int(round(im_bgr.shape[1] * scale))
+    new_h = int(round(im_bgr.shape[0] * scale))
+    if (new_h, new_w) == im_bgr.shape[:2]:
+        return im_bgr
+    return np.asarray(
+        Image.fromarray(im_bgr).resize((new_w, new_h), Image.BILINEAR)
+    )
+
+
+def normalize_image(
+    im: np.ndarray,
+    pixel_means: Sequence[float],
+    pixel_div: float,
+    pixel_std: Sequence[float],
+) -> np.ndarray:
+    """(x/div - mean)/std fused to one subtract + one multiply:
+    (x - mean*div) * (1/(std*div))."""
+    bias = (
+        np.asarray(pixel_means, np.float32) * np.float32(pixel_div)
+    ).reshape(1, 1, 3)
+    inv = (
+        1.0
+        / (np.asarray(pixel_std, np.float32) * np.float32(pixel_div))
+    ).reshape(1, 1, 3)
+    out = im.astype(np.float32)
+    out -= bias
+    out *= inv
+    return out
+
+
 def prep_image(
     im_bgr: np.ndarray,
     scale: float,
@@ -87,26 +121,14 @@ def prep_image(
     resampling; only the resampler's uint8 rounding differs (<=0.5 LSB).
     ~3x faster on the single-core host than per-channel float resizes.
     precise=True keeps the reference's exact float order."""
+    if not precise and im_bgr.dtype == np.uint8:
+        return normalize_image(
+            resize_bgr_u8(im_bgr, scale), pixel_means, pixel_div, pixel_std
+        )
+
     new_w = int(round(im_bgr.shape[1] * scale))
     new_h = int(round(im_bgr.shape[0] * scale))
-    means = np.asarray(pixel_means, np.float32).reshape(1, 1, 3)
-    stds = np.asarray(pixel_std, np.float32).reshape(1, 1, 3)
-
-    if not precise and im_bgr.dtype == np.uint8:
-        if (new_h, new_w) != im_bgr.shape[:2]:
-            im_bgr = np.asarray(
-                Image.fromarray(im_bgr).resize((new_w, new_h), Image.BILINEAR)
-            )
-        im = im_bgr.astype(np.float32)
-        im = im / np.float32(pixel_div)
-        im -= means
-        im /= stds
-        return im
-
-    im = im_bgr.astype(np.float32)
-    im = im / np.float32(pixel_div)
-    im -= means
-    im /= stds
+    im = normalize_image(im_bgr, pixel_means, pixel_div, pixel_std)
     if (new_h, new_w) != im.shape[:2]:
         chans = [
             np.asarray(
@@ -219,16 +241,27 @@ class RetinaNetMinibatchBuilder:
                 entry["height"], entry["width"],
                 cfg.TRAIN.SCALES[scale_inds[i]], cfg.TRAIN.MAX_SIZE,
             )
-            im = prep_image(
-                im_bgr, scale, cfg.PIXEL_MEANS, cfg.PIXEL_DIV, cfg.PIXEL_STD
+            # resize ONCE; normalize per stream (teacher always shares the
+            # student's geometry, ref minibatch.py:74-82)
+            im_r = (
+                resize_bgr_u8(im_bgr, scale)
+                if im_bgr.dtype == np.uint8
+                else im_bgr
+            )
+            im = (
+                normalize_image(im_r, cfg.PIXEL_MEANS, cfg.PIXEL_DIV, cfg.PIXEL_STD)
+                if im_bgr.dtype == np.uint8
+                else prep_image(im_bgr, scale, cfg.PIXEL_MEANS, cfg.PIXEL_DIV, cfg.PIXEL_STD)
             )
             h, w = im.shape[:2]
             assert h <= ch and w <= cw, (h, w, canvas)
             data[i, :h, :w] = im
             if teacher_data is not None:
                 tc = self.teacher_cfg
-                tim = prep_image(
-                    im_bgr, scale, tc.PIXEL_MEANS, tc.PIXEL_DIV, tc.PIXEL_STD
+                tim = (
+                    normalize_image(im_r, tc.PIXEL_MEANS, tc.PIXEL_DIV, tc.PIXEL_STD)
+                    if im_bgr.dtype == np.uint8
+                    else prep_image(im_bgr, scale, tc.PIXEL_MEANS, tc.PIXEL_DIV, tc.PIXEL_STD)
                 )
                 teacher_data[i, :h, :w] = tim
             im_hw[i] = (entry["height"], entry["width"])

@@ -28,7 +28,7 @@ def _build() -> Optional[ctypes.CDLL]:
     try:
         if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
             subprocess.run(
-                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                ["g++", "-O3", "-march=native", "-ffp-contract=off", "-shared", "-fPIC",
                  "-o", _SO + ".tmp", _SRC],
                 check=True, capture_output=True,
             )
@@ -49,6 +49,13 @@ def _build() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_float,
             ctypes.c_float, ctypes.c_float, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.sad_assign_overlaps.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint8),
         ]
         return lib
     except Exception:
@@ -88,6 +95,28 @@ def bbox_overlaps(boxes: np.ndarray, query: np.ndarray) -> np.ndarray:
     out = np.empty((n, k), np.float32)
     lib.sad_bbox_overlaps(_fptr(boxes), n, _fptr(query), k, _fptr(out))
     return out
+
+
+def assign_overlaps(anchors: np.ndarray, gt: np.ndarray):
+    """Fused anchor->gt assignment (a2g_max, a2g_argmax, tie_mask) in one
+    native pass — the loader-thread hot loop (ref: cython_bbox overlaps +
+    numpy reductions in roi_data/retinanet.py:198-250). Returns None when
+    no native lib is available (caller falls back to numpy)."""
+    lib = _get_lib()
+    if lib is None:
+        return None
+    anchors = np.ascontiguousarray(anchors, np.float32)
+    gt = np.ascontiguousarray(gt, np.float32)
+    n, k = len(anchors), len(gt)
+    a2g_max = np.empty((n,), np.float32)
+    a2g_argmax = np.empty((n,), np.int32)
+    tie = np.empty((n,), np.uint8)
+    lib.sad_assign_overlaps(
+        _fptr(anchors), n, _fptr(gt), k, _fptr(a2g_max),
+        a2g_argmax.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        tie.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return a2g_max, a2g_argmax.astype(np.int64), tie.astype(bool)
 
 
 def nms(dets: np.ndarray, thresh: float) -> np.ndarray:

@@ -79,6 +79,72 @@ int64_t sad_nms(const float* dets, int64_t n, float thresh, int64_t* keep_out) {
   return n_keep;
 }
 
+// Fused anchor->gt assignment pass (the loader-thread hot loop that the
+// reference ran through cython_bbox.bbox_overlaps + several numpy reduction
+// passes, roi_data/retinanet.py:198-250). One kernel computes, per anchor:
+//   a2g_max[i]    = max_j IoU(anchor i, gt j)
+//   a2g_argmax[i] = argmax_j (first max, numpy argmax tie convention)
+//   tie[i]        = 1 iff IoU(i, j) == max_i' IoU(i', j) for ANY j
+//                   (the "every anchor tied at a gt's best overlap" rule)
+// without materializing the (n, k) matrix for the numpy passes.
+void sad_assign_overlaps(const float* anchors, int64_t n, const float* gt,
+                         int64_t k, float* a2g_max, int32_t* a2g_argmax,
+                         uint8_t* tie) {
+  std::vector<float> g_area(k), g2a_max(k, 0.f);
+  for (int64_t j = 0; j < k; ++j) {
+    g_area[j] = (gt[j * 4 + 2] - gt[j * 4] + 1.f) *
+                (gt[j * 4 + 3] - gt[j * 4 + 1] + 1.f);
+  }
+  std::vector<float> row(k);
+  // pass 1: per-anchor max/argmax and per-gt column max
+  for (int64_t i = 0; i < n; ++i) {
+    const float bx1 = anchors[i * 4 + 0], by1 = anchors[i * 4 + 1];
+    const float bx2 = anchors[i * 4 + 2], by2 = anchors[i * 4 + 3];
+    const float b_area = (bx2 - bx1 + 1.f) * (by2 - by1 + 1.f);
+    float best = -1.f;
+    int32_t best_j = 0;
+    for (int64_t j = 0; j < k; ++j) {
+      const float iw = std::min(bx2, gt[j * 4 + 2]) -
+                       std::max(bx1, gt[j * 4 + 0]) + 1.f;
+      float v = 0.f;
+      if (iw > 0.f) {
+        const float ih = std::min(by2, gt[j * 4 + 3]) -
+                         std::max(by1, gt[j * 4 + 1]) + 1.f;
+        if (ih > 0.f) {
+          const float inter = iw * ih;
+          v = inter / (b_area + g_area[j] - inter);
+        }
+      }
+      if (v > best) { best = v; best_j = (int32_t)j; }
+      if (v > g2a_max[j]) g2a_max[j] = v;
+    }
+    a2g_max[i] = best;
+    a2g_argmax[i] = best_j;
+  }
+  // pass 2: tie mask (recompute IoU rows; k is small)
+  for (int64_t i = 0; i < n; ++i) {
+    const float bx1 = anchors[i * 4 + 0], by1 = anchors[i * 4 + 1];
+    const float bx2 = anchors[i * 4 + 2], by2 = anchors[i * 4 + 3];
+    const float b_area = (bx2 - bx1 + 1.f) * (by2 - by1 + 1.f);
+    uint8_t t = 0;
+    for (int64_t j = 0; j < k; ++j) {
+      const float iw = std::min(bx2, gt[j * 4 + 2]) -
+                       std::max(bx1, gt[j * 4 + 0]) + 1.f;
+      float v = 0.f;
+      if (iw > 0.f) {
+        const float ih = std::min(by2, gt[j * 4 + 3]) -
+                         std::max(by1, gt[j * 4 + 1]) + 1.f;
+        if (ih > 0.f) {
+          const float inter = iw * ih;
+          v = inter / (b_area + g_area[j] - inter);
+        }
+      }
+      if (v == g2a_max[j]) { t = 1; break; }
+    }
+    tie[i] = t;
+  }
+}
+
 // Soft-NMS (Bodla et al.), methods: 0=hard, 1=linear, 2=gaussian.
 // dets (n,5) is rescored in place; keep_out gets surviving indices in pick
 // order; returns count.
