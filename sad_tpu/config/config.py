@@ -420,10 +420,13 @@ class Config:
     PROFILE_DIR: str = ""
     PROFILE_START_ITER: int = 10
     PROFILE_NUM_ITERS: int = 5
-    # Use the fused Pallas loss kernel instead of the jnp ops. Default off:
-    # measured on v5e, XLA's multi-output fusion of the jnp losses is faster
-    # (100 vs 86 imgs/s on the joint step) — the kernel is kept as an
-    # optimization surface (lane packing, bf16 IO) for future rounds.
+    # Use the fused Pallas loss kernel instead of the jnp ops. The round-2
+    # redesign (lane packing 8x80->640, in-kernel PowSum, per-group raw
+    # sums) closed the gap from -13% to -2.8% on the joint SAD step
+    # (measured honestly with evolving state: XLA 156.5 vs Pallas 161.0
+    # ms/step at bs16; BENCH_NOTES.md) — XLA's multi-output fusion still
+    # wins, so the default stays off; the kernel remains fully tested
+    # against the CUDA-transcription oracles.
     USE_PALLAS_LOSSES: bool = False
 
     # ---------------------------------------------------------------- helpers
