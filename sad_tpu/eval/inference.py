@@ -165,15 +165,48 @@ def _split_anchor(x: jnp.ndarray, num_anchors: int) -> jnp.ndarray:
     return x.reshape(x.shape[:-1] + (num_anchors, x.shape[-1] // num_anchors))
 
 
+def device_normalize(cfg: Config, images, content_hw):
+    """uint8 canvases -> normalized f32 ON DEVICE.
+
+    The host ships 4x fewer bytes over H2D (uint8 vs f32) and the affine
+    normalization fuses into the first conv's input. Bit-identical to the
+    host fast path (data/minibatch.normalize_image): same fused
+    (x - mean*div) * (1/(std*div)) in f32, and the canvas padding outside
+    each image's content extent (content_hw, the resized h/w) is forced to
+    exactly 0.0 — the reference pads AFTER normalization (blob.py:40
+    im_list_to_blob), so normalized-zero padding is the semantic.
+    f32 inputs (already host-normalized) pass through untouched."""
+    if images.dtype != jnp.uint8:
+        return images
+    bias = jnp.asarray(
+        [m * cfg.PIXEL_DIV for m in cfg.PIXEL_MEANS], jnp.float32
+    )
+    inv = jnp.asarray(
+        [1.0 / (s * cfg.PIXEL_DIV) for s in cfg.PIXEL_STD], jnp.float32
+    )
+    out = (images.astype(jnp.float32) - bias) * inv
+    n, h, w, _ = images.shape
+    yy = jax.lax.broadcasted_iota(jnp.float32, (1, h, 1, 1), 1)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (1, 1, w, 1), 2)
+    mask = (yy < content_hw[:, 0, None, None, None]) & (
+        xx < content_hw[:, 1, None, None, None]
+    )
+    return out * mask.astype(jnp.float32)
+
+
 def make_inference_fn(cfg: Config, model: RetinaNet) -> Callable:
     """Jitted end-to-end: images -> top-100 detections.
 
-    fn(params, images (N,H,W,3), im_hw (N,2), im_scale (N,)) -> dict.
-    Also returns the raw per-level maps when cfg.TEST.SAVE_RES (the teacher
-    raw-output dump used by the pseudo-label pipeline, test_retinanet.py:97-101
-    — but batched and without the hard-coded path)."""
+    fn(params, images (N,H,W,3), im_hw (N,2), im_scale (N,),
+       content_hw=None) -> dict. images may be uint8 canvases (normalized
+    on device, see device_normalize — content_hw required then) or
+    host-normalized f32. Also returns the raw per-level maps when
+    cfg.TEST.SAVE_RES (the teacher raw-output dump used by the pseudo-label
+    pipeline, test_retinanet.py:97-101 — but batched and without the
+    hard-coded path)."""
 
-    def infer(params, images, im_hw, im_scale):
+    def infer(params, images, im_hw, im_scale, content_hw=None):
+        images = device_normalize(cfg, images, content_hw)
         out = model.apply({"params": params}, images)
         dets = decode_detections(cfg, out, im_hw, im_scale, cfg.TEST.BBOX_REG)
         if cfg.TEST.SAVE_RES:

@@ -77,7 +77,10 @@ def make_rcnn_inference_fn(cfg: Config, model) -> Callable:
     """Jitted Faster R-CNN end-to-end: images -> detections (+ optional
     mask/keypoint head outputs on the kept boxes)."""
 
-    def infer(params, images, im_hw, im_scale):
+    def infer(params, images, im_hw, im_scale, content_hw=None):
+        from .inference import device_normalize
+
+        images = device_normalize(cfg, images, content_hw)
         out = model.apply({"params": params}, images, im_hw)
         dets = decode_rcnn_detections(
             cfg,
@@ -165,7 +168,10 @@ def make_aux_on_boxes_fn(cfg: Config, model) -> Callable:
     -> {'mask_prob': (B,K,m,m,C)?, 'kps_heatmaps': (B,K,m,m,J)?}
     """
 
-    def aux(params, images, net_boxes, valid):
+    def aux(params, images, net_boxes, valid, content_hw=None):
+        from .inference import device_normalize
+
+        images = device_normalize(cfg, images, content_hw)
         b, k = net_boxes.shape[:2]
         batch_col = jnp.repeat(jnp.arange(b, dtype=jnp.float32), k)[:, None]
         flat = jnp.concatenate([batch_col, net_boxes.reshape(-1, 4)], axis=1)

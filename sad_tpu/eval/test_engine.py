@@ -60,15 +60,22 @@ def prepare_test_batch(
     target_scale: int = 0,
     target_max_size: int = 0,
     hflip: bool = False,
+    as_uint8: bool = False,
 ) -> Dict:
     """Images on the static canvas. target_scale/max_size override
     TEST.SCALES[0]/MAX_SIZE for TTA passes (clamped so the content still
     fits the canvas); hflip mirrors the CONTENT (not the canvas), so net
-    coords stay within the im_hw extent."""
+    coords stay within the im_hw extent.
+
+    as_uint8=True ships raw uint8 canvases + per-image content extents
+    ('content_hw'); the jitted inference normalizes on device
+    (eval/inference.device_normalize) — 4x less host->device traffic,
+    bit-identical results."""
     ch, cw = canvas
     n = len(entries)
-    data = np.zeros((n, ch, cw, 3), np.float32)
+    data = np.zeros((n, ch, cw, 3), np.uint8 if as_uint8 else np.float32)
     im_hw = np.zeros((n, 2), np.float32)
+    content_hw = np.zeros((n, 2), np.float32)
     scales = np.zeros((n,), np.float32)
     for i, e in enumerate(entries):
         im_bgr = load_image_bgr(e["image"], False)
@@ -78,14 +85,25 @@ def prepare_test_batch(
             target_max_size or cfg.TEST.MAX_SIZE,
         )
         scale = min(scale, ch / float(e["height"]), cw / float(e["width"]))
-        im = prep_image(im_bgr, scale, cfg.PIXEL_MEANS, cfg.PIXEL_DIV, cfg.PIXEL_STD)
+        if as_uint8:
+            from sad_tpu.data.minibatch import resize_bgr_u8
+
+            im = resize_bgr_u8(im_bgr, scale)
+        else:
+            im = prep_image(
+                im_bgr, scale, cfg.PIXEL_MEANS, cfg.PIXEL_DIV, cfg.PIXEL_STD
+            )
         if hflip:
             im = im[:, ::-1]
         h, w = im.shape[:2]
         data[i, :h, :w] = im
         im_hw[i] = (e["height"], e["width"])
+        content_hw[i] = (h, w)
         scales[i] = scale
-    return {"data": data, "im_hw": im_hw, "im_scale": scales}
+    return {
+        "data": data, "im_hw": im_hw, "im_scale": scales,
+        "content_hw": content_hw,
+    }
 
 
 def _make_infer_fn(cfg: Config, model):
@@ -95,8 +113,8 @@ def _make_infer_fn(cfg: Config, model):
 
         fn = make_rcnn_inference_fn(cfg, model)
 
-        def infer(params, data, im_hw, im_scale):
-            return fn(params, data, im_hw, im_scale)
+        def infer(params, data, im_hw, im_scale, content_hw=None):
+            return fn(params, data, im_hw, im_scale, content_hw)
 
         return infer
     return make_inference_fn(cfg, model)
@@ -192,10 +210,15 @@ def run_inference_on_roidb(
             # pad the final chunk to the static batch size
             pad = batch_size - len(chunk)
             batch_entries = chunk + [chunk[-1]] * pad
-            host = prepare_test_batch(cfg, batch_entries, canvas)
+            host = prepare_test_batch(
+                cfg, batch_entries, canvas, as_uint8=True
+            )
             timer.tic()
             dev = _put(host)
-            out = infer(params, dev["data"], dev["im_hw"], dev["im_scale"])
+            out = infer(
+                params, dev["data"], dev["im_hw"], dev["im_scale"],
+                dev["content_hw"],
+            )
             boxes = np.asarray(out["boxes"])
             scores = np.asarray(out["scores"])
             classes = np.asarray(out["classes"])
@@ -222,11 +245,12 @@ def run_inference_on_roidb(
                     host_t = prepare_test_batch(
                         cfg, batch_entries, canvas,
                         int(t["scale"]), int(t["max_size"]), t["hflip"],
+                        as_uint8=True,
                     )
                     dev_t = _put(host_t)
                     o = infer(
                         params, dev_t["data"], dev_t["im_hw"],
-                        dev_t["im_scale"],
+                        dev_t["im_scale"], dev_t["content_hw"],
                     )
                     outs_t.append(
                         {kk: np.asarray(o[kk])
@@ -267,10 +291,11 @@ def run_inference_on_roidb(
                         "net": (boxes * host["im_scale"][:, None, None]
                                 ).astype(np.float32),
                         "valid": valid,
+                        "content_hw": host["content_hw"],
                     })
                     aux0 = aux_fn(
                         params, dev_aux["data"], dev_aux["net"],
-                        dev_aux["valid"],
+                        dev_aux["valid"], dev_aux["content_hw"],
                     )
                     if "mask_prob" in aux0:
                         mask_prob = np.asarray(aux0["mask_prob"])
@@ -282,6 +307,7 @@ def run_inference_on_roidb(
                     host_t = prepare_test_batch(
                         cfg, batch_entries, canvas,
                         int(t["scale"]), int(t["max_size"]), t["hflip"],
+                        as_uint8=True,
                     )
                     bx = (
                         _flip_boxes_imframe(boxes, batch_entries)
@@ -292,9 +318,11 @@ def run_inference_on_roidb(
                         "net": (bx * host_t["im_scale"][:, None, None]
                                 ).astype(np.float32),
                         "valid": valid,
+                        "content_hw": host_t["content_hw"],
                     })
                     o = aux_fn(
-                        params, dev_t["data"], dev_t["net"], dev_t["valid"]
+                        params, dev_t["data"], dev_t["net"], dev_t["valid"],
+                        dev_t["content_hw"],
                     )
                     mp = np.asarray(o["mask_prob"])
                     stacks.append(flip_mask_probs(mp) if t["hflip"] else mp)
@@ -305,6 +333,7 @@ def run_inference_on_roidb(
                     host_t = prepare_test_batch(
                         cfg, batch_entries, canvas,
                         int(t["scale"]), int(t["max_size"]), t["hflip"],
+                        as_uint8=True,
                     )
                     bx = (
                         _flip_boxes_imframe(boxes, batch_entries)
@@ -315,9 +344,11 @@ def run_inference_on_roidb(
                         "net": (bx * host_t["im_scale"][:, None, None]
                                 ).astype(np.float32),
                         "valid": valid,
+                        "content_hw": host_t["content_hw"],
                     })
                     o = aux_fn(
-                        params, dev_t["data"], dev_t["net"], dev_t["valid"]
+                        params, dev_t["data"], dev_t["net"], dev_t["valid"],
+                        dev_t["content_hw"],
                     )
                     hm = np.asarray(o["kps_heatmaps"])
                     stacks.append(flip_heatmaps(hm) if t["hflip"] else hm)

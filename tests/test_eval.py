@@ -202,3 +202,52 @@ class TestKeypointEval:
                 "keypoints": [80, 80, 2, 90, 90, 2, 95, 95, 2]}]
         res2 = COCOEvaluator(gt, iou_type="keypoints").evaluate(far)
         assert res2["AP"] == pytest.approx(0.0)
+
+
+def test_uint8_device_normalize_matches_host_f32():
+    """Shipping uint8 canvases + normalizing on device (content-extent
+    masked) must be bit-identical to the host-normalized f32 path."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from tests.test_model_and_train import tiny_arch, tiny_cfg
+    from sad_tpu.data.minibatch import normalize_image
+    from sad_tpu.eval.inference import make_inference_fn
+    from sad_tpu.models import RetinaNet
+    from sad_tpu.models.model_builder import init_model_params
+
+    cfg = dataclasses.replace(
+        tiny_cfg(),
+        PIXEL_MEANS=(20.0, 30.0, 40.0),
+        PIXEL_DIV=2.0,
+        PIXEL_STD=(3.0, 4.0, 5.0),
+    )
+    model = RetinaNet(tiny_arch())
+    H = W = 128
+    params = init_model_params(model, jax.random.PRNGKey(0), (1, H, W, 3))
+    rng = np.random.RandomState(0)
+
+    # two images with different content extents on the canvas
+    u8 = np.zeros((2, H, W, 3), np.uint8)
+    content = np.asarray([[96, 128], [128, 80]], np.float32)
+    for i, (h, w) in enumerate(content.astype(int)):
+        u8[i, :h, :w] = rng.randint(0, 255, (h, w, 3), dtype=np.uint8)
+    f32 = np.zeros((2, H, W, 3), np.float32)
+    for i, (h, w) in enumerate(content.astype(int)):
+        f32[i, :h, :w] = normalize_image(
+            u8[i, :h, :w], cfg.PIXEL_MEANS, cfg.PIXEL_DIV, cfg.PIXEL_STD
+        )
+
+    im_hw = jnp.asarray(content)  # treat content as the original size
+    im_scale = jnp.ones((2,), jnp.float32)
+    infer = make_inference_fn(cfg, model)
+    out_f32 = infer(params, jnp.asarray(f32), im_hw, im_scale)
+    out_u8 = infer(
+        params, jnp.asarray(u8), im_hw, im_scale, jnp.asarray(content)
+    )
+    for k in ("boxes", "scores", "classes", "valid"):
+        np.testing.assert_array_equal(
+            np.asarray(out_f32[k]), np.asarray(out_u8[k]), err_msg=k
+        )
