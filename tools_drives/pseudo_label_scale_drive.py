@@ -85,7 +85,7 @@ def main():
     t0 = time.perf_counter()
     generate_pseudo_labels(
         cfg, model, params, "unlabel_scale", out_json,
-        score_thresh=0.05, batch_size=8,
+        score_thresh=1e-4, batch_size=8,
     )
     dt = time.perf_counter() - t0
     with open(out_json) as f:
