@@ -367,6 +367,12 @@ class DataLoaderConfig:
 
     NUM_THREADS: int = 4
     NUM_PROCESSES: int = 0
+    # Ship ONE raw uint8 canvas per image and normalize per stream on
+    # device (sad_tpu.ops.image_norm): 4x less host->device traffic (8x for
+    # distillation, where the canvas serves both normalization streams) and
+    # the host skips its normalize passes. Bit-identical results (canvas
+    # padding is masked back to exact 0.0 on device).
+    DEVICE_NORMALIZE: bool = True
 
 
 @dataclass(frozen=True)

@@ -142,9 +142,14 @@ def prep_image(
 
 @dataclass
 class RetinaNetBatch:
-    """Host-side batch matching sad_tpu.train.train_step's pytree layout."""
+    """Host-side batch matching sad_tpu.train.train_step's pytree layout.
 
-    data: np.ndarray
+    Two storage modes: host-normalized f32 ('data' [+ 'teacher_data']), or
+    device-normalized uint8 ('data_u8' + 'content_hw') where ONE raw canvas
+    serves both the student and teacher normalization streams on device
+    (sad_tpu.ops.image_norm) — 4-8x less host->device traffic."""
+
+    data: Optional[np.ndarray]
     teacher_data: Optional[np.ndarray]
     labels: Dict[int, np.ndarray]
     bbox_targets: Dict[int, np.ndarray]
@@ -152,26 +157,47 @@ class RetinaNetBatch:
     fg_num: np.ndarray
     im_hw: np.ndarray  # (B, 2) original sizes (for inference/debug)
     im_scale: np.ndarray  # (B,)
+    data_u8: Optional[np.ndarray] = None  # (B,H,W,3) uint8 shared canvas
+    content_hw: Optional[np.ndarray] = None  # (B,2) resized content extents
 
     def as_pytree(self) -> Dict:
         d = {
-            "data": self.data,
             "labels": self.labels,
             "bbox_targets": self.bbox_targets,
             "fg_mask": self.fg_mask,
             "fg_num": self.fg_num,
         }
-        if self.teacher_data is not None:
-            d["teacher_data"] = self.teacher_data
+        if self.data_u8 is not None:
+            d["data_u8"] = self.data_u8
+            d["content_hw"] = self.content_hw
+        else:
+            d["data"] = self.data
+            if self.teacher_data is not None:
+                d["teacher_data"] = self.teacher_data
         return d
 
 
 class RetinaNetMinibatchBuilder:
-    """Builds static-shape training batches for one canvas orientation."""
+    """Builds static-shape training batches for one canvas orientation.
 
-    def __init__(self, cfg: Config, teacher_cfg: Optional[Config] = None):
+    device_normalize (default from cfg.DATA_LOADER.DEVICE_NORMALIZE): ship
+    ONE raw uint8 canvas per image + content extents; the train step
+    normalizes per stream on device. False = host-normalized f32 blobs (the
+    reference's layout)."""
+
+    def __init__(
+        self,
+        cfg: Config,
+        teacher_cfg: Optional[Config] = None,
+        device_normalize: Optional[bool] = None,
+    ):
         self.cfg = cfg
         self.teacher_cfg = teacher_cfg
+        self.device_normalize = (
+            cfg.DATA_LOADER.DEVICE_NORMALIZE
+            if device_normalize is None
+            else device_normalize
+        )
         self.landscape, self.portrait = canvas_shapes(cfg)
         fms = fpn_max_size(cfg)
         # square assignment field covering every canvas (data_utils.py:70-73)
@@ -209,10 +235,19 @@ class RetinaNetMinibatchBuilder:
         assert n % ims_per_group == 0, (n, ims_per_group)
         n_groups = n // ims_per_group
 
-        data = np.zeros((n, ch, cw, 3), np.float32)
-        teacher_data = (
-            np.zeros((n, ch, cw, 3), np.float32) if self.teacher_cfg else None
-        )
+        dev_norm = self.device_normalize
+        if dev_norm:
+            data_u8 = np.zeros((n, ch, cw, 3), np.uint8)
+            content_hw = np.zeros((n, 2), np.float32)
+            data = teacher_data = None
+        else:
+            data_u8 = content_hw = None
+            data = np.zeros((n, ch, cw, 3), np.float32)
+            teacher_data = (
+                np.zeros((n, ch, cw, 3), np.float32)
+                if self.teacher_cfg
+                else None
+            )
         im_hw = np.zeros((n, 2), np.float32)
         im_scales = np.zeros((n,), np.float32)
 
@@ -241,29 +276,41 @@ class RetinaNetMinibatchBuilder:
                 entry["height"], entry["width"],
                 cfg.TRAIN.SCALES[scale_inds[i]], cfg.TRAIN.MAX_SIZE,
             )
-            # resize ONCE; normalize per stream (teacher always shares the
-            # student's geometry, ref minibatch.py:74-82)
-            im_r = (
-                resize_bgr_u8(im_bgr, scale)
-                if im_bgr.dtype == np.uint8
-                else im_bgr
-            )
-            im = (
-                normalize_image(im_r, cfg.PIXEL_MEANS, cfg.PIXEL_DIV, cfg.PIXEL_STD)
-                if im_bgr.dtype == np.uint8
-                else prep_image(im_bgr, scale, cfg.PIXEL_MEANS, cfg.PIXEL_DIV, cfg.PIXEL_STD)
-            )
-            h, w = im.shape[:2]
-            assert h <= ch and w <= cw, (h, w, canvas)
-            data[i, :h, :w] = im
-            if teacher_data is not None:
-                tc = self.teacher_cfg
-                tim = (
-                    normalize_image(im_r, tc.PIXEL_MEANS, tc.PIXEL_DIV, tc.PIXEL_STD)
+            # resize ONCE; normalization is per stream and happens either
+            # here (f32 mode) or on device (u8 mode) — the teacher always
+            # shares the student's geometry, ref minibatch.py:74-82
+            if dev_norm:
+                if im_bgr.dtype != np.uint8:
+                    raise ValueError(
+                        "device_normalize needs uint8 source images"
+                    )
+                im = resize_bgr_u8(im_bgr, scale)
+                h, w = im.shape[:2]
+                assert h <= ch and w <= cw, (h, w, canvas)
+                data_u8[i, :h, :w] = im
+                content_hw[i] = (h, w)
+            else:
+                im_r = (
+                    resize_bgr_u8(im_bgr, scale)
                     if im_bgr.dtype == np.uint8
-                    else prep_image(im_bgr, scale, tc.PIXEL_MEANS, tc.PIXEL_DIV, tc.PIXEL_STD)
+                    else im_bgr
                 )
-                teacher_data[i, :h, :w] = tim
+                im = (
+                    normalize_image(im_r, cfg.PIXEL_MEANS, cfg.PIXEL_DIV, cfg.PIXEL_STD)
+                    if im_bgr.dtype == np.uint8
+                    else prep_image(im_bgr, scale, cfg.PIXEL_MEANS, cfg.PIXEL_DIV, cfg.PIXEL_STD)
+                )
+                h, w = im.shape[:2]
+                assert h <= ch and w <= cw, (h, w, canvas)
+                data[i, :h, :w] = im
+                if teacher_data is not None:
+                    tc = self.teacher_cfg
+                    tim = (
+                        normalize_image(im_r, tc.PIXEL_MEANS, tc.PIXEL_DIV, tc.PIXEL_STD)
+                        if im_bgr.dtype == np.uint8
+                        else prep_image(im_bgr, scale, tc.PIXEL_MEANS, tc.PIXEL_DIV, tc.PIXEL_STD)
+                    )
+                    teacher_data[i, :h, :w] = tim
             im_hw[i] = (entry["height"], entry["width"])
             im_scales[i] = scale
 
@@ -296,4 +343,6 @@ class RetinaNetMinibatchBuilder:
             fg_num=fg_num.astype(np.float32),
             im_hw=im_hw,
             im_scale=im_scales,
+            data_u8=data_u8,
+            content_hw=content_hw,
         )

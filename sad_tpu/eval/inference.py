@@ -178,20 +178,11 @@ def device_normalize(cfg: Config, images, content_hw):
     f32 inputs (already host-normalized) pass through untouched."""
     if images.dtype != jnp.uint8:
         return images
-    bias = jnp.asarray(
-        [m * cfg.PIXEL_DIV for m in cfg.PIXEL_MEANS], jnp.float32
+    from sad_tpu.ops.image_norm import normalize_u8_on_device
+
+    return normalize_u8_on_device(
+        images, cfg.PIXEL_MEANS, cfg.PIXEL_DIV, cfg.PIXEL_STD, content_hw
     )
-    inv = jnp.asarray(
-        [1.0 / (s * cfg.PIXEL_DIV) for s in cfg.PIXEL_STD], jnp.float32
-    )
-    out = (images.astype(jnp.float32) - bias) * inv
-    n, h, w, _ = images.shape
-    yy = jax.lax.broadcasted_iota(jnp.float32, (1, h, 1, 1), 1)
-    xx = jax.lax.broadcasted_iota(jnp.float32, (1, 1, w, 1), 2)
-    mask = (yy < content_hw[:, 0, None, None, None]) & (
-        xx < content_hw[:, 1, None, None, None]
-    )
-    return out * mask.astype(jnp.float32)
 
 
 def make_inference_fn(cfg: Config, model: RetinaNet) -> Callable:

@@ -189,7 +189,10 @@ def train_model(
 
     else:
         step_fn = jax.jit(
-            make_train_step(cfg, student, teacher, n_groups=n_groups),
+            make_train_step(
+                cfg, student, teacher, n_groups=n_groups,
+                teacher_cfg=teacher_cfg,
+            ),
             donate_argnums=(0,),
         )
     state = TrainState(params, velocity)

@@ -239,6 +239,7 @@ def make_train_step(
     student_model: RetinaNet,
     teacher_model: Optional[RetinaNet] = None,
     n_groups: Optional[int] = None,
+    teacher_cfg: Optional[Config] = None,
 ) -> Callable:
     """Build the jittable train step.
 
@@ -246,23 +247,49 @@ def make_train_step(
       step(state: TrainState, teacher_params|None, batch, lr) ->
         (new_state, metrics)
     Distillation is on iff teacher_model is not None.
+
+    Batches carry either host-normalized f32 'data' (+ 'teacher_data'), or
+    a shared raw uint8 canvas 'data_u8' + 'content_hw' that is normalized
+    per stream ON DEVICE (ops/image_norm; 4-8x less H2D). teacher_cfg
+    supplies the teacher's pixel normalization in u8 mode (the reference
+    normalizes both streams on the host, minibatch.py:74-82).
     """
     solver = cfg.SOLVER
 
+    def _stream_inputs(batch):
+        if "data_u8" in batch:
+            from sad_tpu.ops.image_norm import (
+                content_mask,
+                normalize_u8_on_device,
+            )
+
+            u8 = batch["data_u8"]
+            mask = content_mask(u8.shape, batch["content_hw"])
+            s_data = normalize_u8_on_device(
+                u8, cfg.PIXEL_MEANS, cfg.PIXEL_DIV, cfg.PIXEL_STD, mask=mask
+            )
+            t_data = None
+            if teacher_model is not None:
+                tc = teacher_cfg if teacher_cfg is not None else cfg
+                t_data = normalize_u8_on_device(
+                    u8, tc.PIXEL_MEANS, tc.PIXEL_DIV, tc.PIXEL_STD, mask=mask
+                )
+            return s_data, t_data
+        return batch["data"], batch.get("teacher_data")
+
     def step(state: TrainState, teacher_params, batch, lr):
         G = n_groups if n_groups is not None else batch["fg_num"].shape[0]
+        s_data, t_data = _stream_inputs(batch)
 
         teacher_probs = None
         if teacher_model is not None:
-            t_out = teacher_model.apply(
-                {"params": teacher_params}, batch["teacher_data"]
-            )
+            t_out = teacher_model.apply({"params": teacher_params}, t_data)
             teacher_probs = {
                 lvl: jax.lax.stop_gradient(p) for lvl, p in t_out["cls_prob"].items()
             }
 
         def loss_fn(params):
-            out = student_model.apply({"params": params}, batch["data"])
+            out = student_model.apply({"params": params}, s_data)
             if teacher_probs is not None and cfg.USE_PALLAS_LOSSES:
                 total, metrics = fused_distill_losses(
                     cfg, out, teacher_probs, batch, G

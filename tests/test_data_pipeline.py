@@ -134,7 +134,9 @@ class TestMinibatch:
         )
         ds = CocoDataset(synth_dataset)
         roidb = [e for e in ds.get_roidb() if e["width"] >= e["height"]][:2]
-        builder = RetinaNetMinibatchBuilder(cfg, teacher_cfg)
+        builder = RetinaNetMinibatchBuilder(
+            cfg, teacher_cfg, device_normalize=False
+        )
         batch = builder.build(roidb)
         assert batch.data.shape == (2, 128, 128, 3)
         assert batch.teacher_data.shape == (2, 128, 128, 3)
@@ -184,7 +186,7 @@ class TestLoader:
         try:
             batches = [loader.get_next_batch() for _ in range(4)]
             for b in batches:
-                assert b["data"].shape[0] == 2
+                assert b["data_u8"].shape[0] == 2  # DEVICE_NORMALIZE default
                 assert b["fg_num"].shape == (1,)
         finally:
             loader.shutdown()
@@ -286,7 +288,7 @@ class TestMultiprocessLoader:
                 a = mp_loader.get_next_batch()
                 b = th_loader.get_next_batch()
                 assert set(a) == set(b)
-                np.testing.assert_array_equal(a["data"], b["data"])
+                np.testing.assert_array_equal(a["data_u8"], b["data_u8"])
                 np.testing.assert_array_equal(a["fg_num"], b["fg_num"])
                 for lvl in cfg.fpn_levels():
                     np.testing.assert_array_equal(
@@ -310,7 +312,7 @@ class TestMultiprocessLoader:
         try:
             for _ in range(4):
                 b = loader.get_next_batch()
-                assert b["data"].shape[0] == 2
+                assert b["data_u8"].shape[0] == 2
         finally:
             loader.shutdown()
 
@@ -330,3 +332,112 @@ class TestMultiprocessLoader:
                 loader.get_next_batch()
         finally:
             loader.shutdown()
+
+
+class TestDeviceNormalizeMode:
+    def test_u8_batch_matches_f32_batch_exactly(self, synth_dataset):
+        """DATA_LOADER.DEVICE_NORMALIZE ships one uint8 canvas; normalizing
+        it on device (per stream, padding masked to 0) must reproduce the
+        host-normalized f32 blobs bit-for-bit."""
+        import jax.numpy as jnp
+
+        from sad_tpu.ops.image_norm import normalize_u8_on_device
+
+        cfg = tiny_train_cfg(distill=True)
+        teacher_cfg = merge_cfg_from_dict(
+            tiny_train_cfg(), {"PIXEL_MEANS": (0.0, 0.0, 0.0)}
+        )
+        ds = CocoDataset(synth_dataset)
+        roidb = [e for e in ds.get_roidb() if e["width"] >= e["height"]][:2]
+        b_f32 = RetinaNetMinibatchBuilder(
+            cfg, teacher_cfg, device_normalize=False
+        ).build(roidb, seed=4)
+        b_u8 = RetinaNetMinibatchBuilder(
+            cfg, teacher_cfg, device_normalize=True
+        ).build(roidb, seed=4)
+        assert b_u8.data_u8.dtype == np.uint8
+        s = normalize_u8_on_device(
+            jnp.asarray(b_u8.data_u8), cfg.PIXEL_MEANS, cfg.PIXEL_DIV,
+            cfg.PIXEL_STD, content_hw=jnp.asarray(b_u8.content_hw),
+        )
+        t = normalize_u8_on_device(
+            jnp.asarray(b_u8.data_u8), teacher_cfg.PIXEL_MEANS,
+            teacher_cfg.PIXEL_DIV, teacher_cfg.PIXEL_STD,
+            content_hw=jnp.asarray(b_u8.content_hw),
+        )
+        np.testing.assert_array_equal(np.asarray(s), b_f32.data)
+        np.testing.assert_array_equal(np.asarray(t), b_f32.teacher_data)
+        # anchor labels identical regardless of the storage mode
+        for lvl in cfg.fpn_levels():
+            np.testing.assert_array_equal(
+                b_u8.labels[lvl], b_f32.labels[lvl]
+            )
+
+    def test_train_step_accepts_u8_batch(self, synth_dataset):
+        """One joint distillation step on a u8 batch == the same step on the
+        equivalent f32 batch (params and metrics)."""
+        import jax
+        import jax.numpy as jnp
+
+        from tests.test_model_and_train import tiny_arch, tiny_cfg
+        from sad_tpu.models import RetinaNet
+        from sad_tpu.models.model_builder import init_model_params
+        from sad_tpu.train import (
+            TrainState,
+            init_momentum_state,
+            make_train_step,
+        )
+
+        cfg = tiny_cfg(n_groups=1)
+        teacher_cfg = merge_cfg_from_dict(cfg, {"PIXEL_MEANS": (0.0, 0.0, 0.0)})
+        arch = tiny_arch()
+        student, teacher = RetinaNet(arch), RetinaNet(arch)
+        H = W = 128
+        sp = init_model_params(student, jax.random.PRNGKey(0), (1, H, W, 3))
+        tp = init_model_params(teacher, jax.random.PRNGKey(1), (1, H, W, 3))
+        rng = np.random.RandomState(0)
+        a = arch.num_anchors
+        u8 = rng.randint(0, 255, (2, H, W, 3), dtype=np.uint8)
+        content = np.asarray([[H, W], [96, 112]], np.float32)
+        u8[1, 96:] = 0
+        u8[1, :, 112:] = 0
+
+        from sad_tpu.data.minibatch import normalize_image
+
+        f32 = np.zeros((2, H, W, 3), np.float32)
+        t32 = np.zeros((2, H, W, 3), np.float32)
+        for i, (h, w) in enumerate(content.astype(int)):
+            f32[i, :h, :w] = normalize_image(
+                u8[i, :h, :w], cfg.PIXEL_MEANS, cfg.PIXEL_DIV, cfg.PIXEL_STD
+            )
+            t32[i, :h, :w] = normalize_image(
+                u8[i, :h, :w], teacher_cfg.PIXEL_MEANS, teacher_cfg.PIXEL_DIV,
+                teacher_cfg.PIXEL_STD,
+            )
+
+        common = {"labels": {}, "bbox_targets": {}, "fg_mask": {},
+                  "fg_num": np.asarray([5.0], np.float32)}
+        for lvl in cfg.fpn_levels():
+            s_ = 2 ** lvl
+            h_, w_ = H // s_, W // s_
+            common["labels"][lvl] = rng.randint(-1, 5, (2, h_, w_, a)).astype(np.int32)
+            common["bbox_targets"][lvl] = rng.randn(2, h_, w_, a, 4).astype(np.float32)
+            common["fg_mask"][lvl] = rng.uniform(size=(2, h_, w_, a)) < 0.05
+
+        step = jax.jit(make_train_step(
+            cfg, student, teacher, n_groups=1, teacher_cfg=teacher_cfg
+        ))
+        out = {}
+        for name, extra in (
+            ("u8", {"data_u8": u8, "content_hw": content}),
+            ("f32", {"data": f32, "teacher_data": t32}),
+        ):
+            batch = dict(common, **extra)
+            state = TrainState(sp, init_momentum_state(sp).velocity)
+            new_state, metrics = step(state, tp, batch, jnp.float32(0.01))
+            out[name] = (new_state, metrics)
+        for k in out["f32"][1]:
+            np.testing.assert_array_equal(
+                np.asarray(out["u8"][1][k]), np.asarray(out["f32"][1][k]),
+                err_msg=k,
+            )

@@ -72,8 +72,10 @@ def streams(tmp_path_factory):
 
 
 def _stream_of(batch):
-    # labeled images are bright (200), unlabeled black (0)
-    return "labeled" if float(np.max(batch["data"])) > 100 else "unlabeled"
+    # labeled images are bright (200), unlabeled black (0); batches carry
+    # uint8 canvases (DEVICE_NORMALIZE) or normalized f32
+    data = batch.get("data_u8", batch.get("data"))
+    return "labeled" if float(np.max(data)) > 100 else "unlabeled"
 
 
 @pytest.mark.parametrize("loader_kind", ["threads", "processes"])
