@@ -6,7 +6,9 @@ reference's *intentional* quirks (SURVEY.md Appendix A):
 
 - ``sigmoid_adaptive_distill_loss`` — the SAD novel loss
   (sigmoid_adaptive_distillation_loss_op.cu:28-105). Its published backward is
-  NOT the exact derivative of its forward (alpha enters ``DLoss`` differently);
+  transcribed as PUBLISHED (alpha enters ``DLoss`` folded differently than
+  the forward — algebraically the same function in the smooth region, but
+  diverging where the forward's log(max(FLT_MIN, p)) clamp bites);
   we replicate the published backward via ``jax.custom_vjp`` rather than
   letting autodiff differentiate the forward.
 - ``sigmoid_focal_loss`` (sigmoid_focal_loss_op.cu:25-110).
@@ -225,7 +227,9 @@ def _distill_bwd(gamma, alpha, beta, ignored_label, scale, res, g):
 
     p = jax.nn.sigmoid(x)
     # Exact transcription of the published backward (.cu:92-102); note it is
-    # NOT the derivative of the forward: alpha is folded inside DLoss here.
+    # published kernel's factoring: alpha folded inside DLoss (equals the
+    # true derivative except in the forward's FLT_MIN clamp region —
+    # tests/test_gradient_checks.py).
     DL = _distill_D(x, pt, beta)
     expDL = jnp.exp(-DL)
     q = 1.0 - expDL

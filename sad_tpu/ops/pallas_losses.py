@@ -30,8 +30,9 @@ a partial final tile and out-of-range rows are masked in-register.
 
 Numerics are identical to sad_tpu.ops.losses (tested against the same NumPy
 transcriptions of the CUDA kernels), including the reference's published
-backward that is NOT the true derivative of its forward, and the forward /
-backward alpha-folding asymmetry (SURVEY.md Appendix A).
+backward exactly as written (its alpha-folding is an algebraic refactoring
+of the true derivative that diverges only in the forward's FLT_MIN clamp
+region — tests/test_gradient_checks.py).
 
 No gradient flows to the teacher probabilities or through PowSum: the
 reference's gradient maker passes only GI(0)
@@ -230,7 +231,7 @@ def _bwd_kernel(
     dx_f = (-c1 * alpha_f * term1 - c2 * (1.0 - alpha_f) * term2) * g_f
 
     # distill backward (…op.cu:69-105): alpha folded differently than the
-    # forward — reproduce the published kernel, not the true derivative
+    # forward — transcribe the published kernel's factoring verbatim
     d_loss_term = alpha_d * pt * log_p + (1.0 - alpha_d) * (1.0 - pt) * log_1mp
     dx_d = (
         -(
