@@ -635,9 +635,9 @@ def assert_and_infer_cfg(cfg: Config) -> Config:
     mt = cfg.MODEL.TYPE
     if mt in _TYPE_ALIASES and _TYPE_ALIASES[mt] != mt:
         model = replace(cfg.MODEL, TYPE=_TYPE_ALIASES[mt])
-        if mt == "mask_rcnn" and not cfg.MODEL.MASK_ON:
-            model = replace(model, MASK_ON=True)
-        if mt == "keypoint_rcnn" and not cfg.MODEL.KEYPOINTS_ON:
+        if mt.startswith("mask_rcnn") and not cfg.MODEL.MASK_ON:
+            model = replace(model, MASK_ON=True)  # incl. _frozen_features
+        if mt.startswith("keypoint_rcnn") and not cfg.MODEL.KEYPOINTS_ON:
             model = replace(model, KEYPOINTS_ON=True)
         if mt == "mask_and_keypoint_rcnn":
             model = replace(model, MASK_ON=True, KEYPOINTS_ON=True)

@@ -51,9 +51,8 @@ _W: dict = {}
 
 
 def _worker_init(builder, roidbs):
-    # workers only do numpy; make sure any library that honors these
-    # doesn't oversubscribe cores under the parallel pool
-    os.environ.setdefault("OMP_NUM_THREADS", "1")
+    # (OMP_NUM_THREADS is inherited from the parent, set around spawn —
+    # BLAS pools initialize at the child's numpy import, before this runs)
     _W["builder"] = builder
     _W["roidbs"] = roidbs
 
@@ -135,15 +134,30 @@ class MultiprocessTrainingLoader:
     # ---------------------------------------------------------------- start
 
     def start(self, prefill: bool = False):
-        for i in range(self.num_workers):
-            p = self._ctx.Process(
-                target=_worker_loop,
-                args=(self._task_q, self._result_q, self.builder, self._roidbs),
-                daemon=True,
-                name=f"mp-loader-{i}",
-            )
-            p.start()
-            self._procs.append(p)
+        # BLAS/OpenMP pools size themselves when the child imports numpy —
+        # which happens during spawn bootstrap, BEFORE any initializer runs.
+        # Set the env in the parent around the spawns (children inherit it)
+        # so N workers don't each open a full cores-wide thread pool.
+        prior_omp = os.environ.get("OMP_NUM_THREADS")
+        os.environ["OMP_NUM_THREADS"] = "1"
+        try:
+            for i in range(self.num_workers):
+                p = self._ctx.Process(
+                    target=_worker_loop,
+                    args=(
+                        self._task_q, self._result_q, self.builder,
+                        self._roidbs,
+                    ),
+                    daemon=True,
+                    name=f"mp-loader-{i}",
+                )
+                p.start()
+                self._procs.append(p)
+        finally:
+            if prior_omp is None:
+                os.environ.pop("OMP_NUM_THREADS", None)
+            else:
+                os.environ["OMP_NUM_THREADS"] = prior_omp
         self._dispatcher.start()
         self._collector.start()
         if prefill:
@@ -198,6 +212,18 @@ class MultiprocessTrainingLoader:
             try:
                 kind, payload = self._result_q.get(timeout=0.5)
             except queue.Empty:
+                # liveness: a worker that died WITHOUT shipping a traceback
+                # (OOM-kill, segfault in native code) would otherwise hang
+                # the consumer forever — the threaded loader always raises
+                if self._procs and all(not p.is_alive() for p in self._procs):
+                    codes = [p.exitcode for p in self._procs]
+                    self._error = RuntimeError(
+                        f"all minibatch workers died (exit codes {codes}) "
+                        "without reporting an error — likely OOM or a "
+                        "native crash"
+                    )
+                    self._stop.set()
+                    return
                 continue
             except (EOFError, OSError):
                 return

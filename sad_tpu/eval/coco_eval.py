@@ -149,9 +149,9 @@ class COCOEvaluator:
         }
         self._gt = defaultdict(list)  # (img_id, cat_id) -> list of anns
         for ann in gt_dataset.get("annotations", []):
-            # ignore=1 anns stay in the pool as permanently-ignored gt
-            # (pycocotools _prepare: dets matched to them are ignored, NOT
-            # counted as false positives)
+            # every ann stays in the pool; ignore status is derived per
+            # area-range in _evaluate_img_cat exactly as pycocotools does
+            # (an explicit 'ignore' field is clobbered by iscrowd there)
             self._gt[(ann["image_id"], ann["category_id"])].append(ann)
 
     # ------------------------------------------------------------- matching
@@ -170,18 +170,20 @@ class COCOEvaluator:
     ) -> Optional[Dict]:
         if len(dts) == 0 and len(gts) == 0:
             return None
-        # gt ignore flags: explicit ignore, crowd, or outside area range.
-        # Area is the annotation's 'area' field when present (for COCO that
-        # is the SEGMENTATION area — pycocotools uses it for the gt side of
-        # the small/medium/large split), falling back to bbox w*h.
+        # gt ignore flags, matching pycocotools _prepare EXACTLY: the
+        # explicit 'ignore' annotation field is CLOBBERED by iscrowd for
+        # bbox/segm (`gt['ignore'] = 'iscrowd' in gt and gt['iscrowd']`) and
+        # only contributes through the keypoint branch
+        # (`(num_keypoints == 0) or gt['ignore']`, where gt['ignore'] is
+        # already the iscrowd value). Outside-area-range gts are ignored in
+        # evaluateImg. Area is the annotation's 'area' field when present
+        # (for COCO that is the SEGMENTATION area — pycocotools uses it for
+        # the gt side of the small/medium/large split), else bbox w*h.
         g_ignore = np.array(
             [
-                bool(g.get("ignore", 0))
-                or bool(g.get("iscrowd", 0))
+                bool(g.get("iscrowd", 0))
                 or _gt_area(g) < area_rng[0]
                 or _gt_area(g) > area_rng[1]
-                # keypoint protocol: gts with no labeled keypoints are
-                # ignored (pycocotools _prepare, kpt branch)
                 or (
                     self.iou_type == "keypoints"
                     and int(g.get("num_keypoints", 1)) == 0

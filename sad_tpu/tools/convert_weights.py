@@ -53,14 +53,24 @@ def main(argv=None):
     (h, w), _ = canvas_shapes(cfg)
     template = init_model_params(model, jax.random.PRNGKey(0), (1, h, w, 3))
 
+    # flattening-FC kernels (fc6, USE_FC_OUTPUT mask head) need the
+    # CHW<->HWC input-row permutation keyed by the RoI resolution — without
+    # it the converted kernel has the right SHAPE but scrambled rows and
+    # inference silently produces garbage (train_loop passes this too)
+    from sad_tpu.train.checkpoint import fc_flatten_resolutions
+
+    fc_res = fc_flatten_resolutions(cfg)
+
     if args.to_blobs:
         ck = load_checkpoint(args.input)
-        blobs = flax_to_reference_blobs(ck["params"])
+        blobs = flax_to_reference_blobs(ck["params"], fc_resolutions=fc_res)
         with open(args.output, "wb") as f:
             pickle.dump({"blobs": blobs}, f, pickle.HIGHEST_PROTOCOL)
         logger.info("Wrote %d blobs -> %s", len(blobs), args.output)
     else:
-        params, loaded, skipped = convert_reference_pickle(args.input, template)
+        params, loaded, skipped = convert_reference_pickle(
+            args.input, template, fc_resolutions=fc_res
+        )
         save_checkpoint(args.output, params, None, 0)
         logger.info(
             "Converted %s -> %s (loaded %d blobs, skipped %d params)",

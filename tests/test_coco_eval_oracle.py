@@ -53,7 +53,11 @@ def _oracle_evaluate_img(gts, dts, area_rng, max_det):
     if len(gts) == 0 and len(dts) == 0:
         return None
     for g in gts:
-        ig = g.get("ignore", 0) or g.get("iscrowd", 0)
+        # pycocotools _prepare CLOBBERS any explicit 'ignore' field:
+        #   gt['ignore'] = 'iscrowd' in gt and gt['iscrowd']
+        # so for bbox/segm only iscrowd ignores a gt; the planted 'ignore'
+        # keys in the fixture must have NO effect in either implementation.
+        ig = g.get("iscrowd", 0)
         area = g.get("area", g["bbox"][2] * g["bbox"][3])
         g["_ignore"] = 1 if (ig or area < area_rng[0] or area > area_rng[1]) else 0
     gtind = np.argsort([g["_ignore"] for g in gts], kind="mergesort")
