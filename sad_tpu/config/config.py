@@ -581,6 +581,30 @@ def merge_cfg_from_dict(cfg: Config, d: Dict[str, Any]) -> Config:
     return replace(cfg, **kwargs)
 
 
+def cfg_to_dict(cfg) -> Dict[str, Any]:
+    """Config -> plain nested dict (tuples as lists) — yaml/json friendly."""
+    out: Dict[str, Any] = {}
+    for f in fields(cfg):
+        v = getattr(cfg, f.name)
+        if dataclasses.is_dataclass(v):
+            out[f.name] = cfg_to_dict(v)
+        elif isinstance(v, tuple):
+            out[f.name] = [cfg_to_dict(x) if dataclasses.is_dataclass(x)
+                           else x for x in v]
+        else:
+            out[f.name] = v
+    return out
+
+
+def cfg_to_yaml(cfg: Config) -> str:
+    """Serialize a Config to YAML that merge_cfg_from_dict round-trips.
+    Used to embed the active config in checkpoints (ref: net.py:149-182
+    stores 'cfg': yaml in every weights pkl) and to drop a cfg.yaml into
+    the output dir for the run dashboard."""
+    return yaml.safe_dump(cfg_to_dict(cfg), sort_keys=True,
+                          default_flow_style=None)
+
+
 def merge_cfg_from_file(cfg: Config, yaml_path: str) -> Config:
     """Load a YAML file (reference-format) and merge it into cfg."""
     with open(yaml_path, "r") as f:

@@ -63,6 +63,13 @@ def train_model(
     output_dir = output_dir or get_output_dir(cfg, training=True)
     os.makedirs(output_dir, exist_ok=True)
     max_iters = max_iters or cfg.SOLVER.MAX_ITER
+    # embed the active config in checkpoints (ref: net.py:149-182 stores
+    # 'cfg' yaml in every weights pkl) and in the run dir for the dashboard
+    from sad_tpu.config.config import cfg_to_yaml
+
+    cfg_yaml = cfg_to_yaml(cfg)
+    with open(os.path.join(output_dir, "cfg.yaml"), "w") as f:
+        f.write(cfg_yaml)
 
     # ----- models + params
     student = create_model(cfg)
@@ -200,7 +207,9 @@ def train_model(
 
     logger.info("Model parameter summary (net.py:224 print_net analogue):")
     print_model_summary(params, max_rows=12)
-    stats = TrainingStats(max_iters)
+    stats = TrainingStats(
+        max_iters, log_file=os.path.join(output_dir, "stats.jsonl")
+    )
     snapshot_period = max(1, cfg.TRAIN.SNAPSHOT_ITERS // max(cfg.NUM_GPUS, 1))
     cur_lr = get_lr_at_iter(cfg.SOLVER, start_iter)
 
@@ -219,6 +228,7 @@ def train_model(
             save_checkpoint(
                 os.path.join(output_dir, "model_nan_abort.pkl"),
                 state.params, state.velocity, p_it,
+                cfg_yaml=cfg_yaml,
             )
             raise FloatingPointError(
                 f"Loss is {host['loss']} at iter {p_it}; aborting "
@@ -276,12 +286,14 @@ def train_model(
                 save_checkpoint(
                     os.path.join(output_dir, f"model_iter{it}.pkl"),
                     state.params, state.velocity, it + 1,
+                    cfg_yaml=cfg_yaml,
                 )
         if pending is not None:
             _consume_metrics(*pending)
         save_checkpoint(
             os.path.join(output_dir, "model_final.pkl"),
             state.params, state.velocity, max_iters,
+            cfg_yaml=cfg_yaml,
         )
     finally:
         if own_loader:

@@ -39,9 +39,19 @@ class SmoothedValue:
 
 
 class TrainingStats:
-    def __init__(self, max_iter: int, log_period: int = LOG_PERIOD):
+    def __init__(
+        self,
+        max_iter: int,
+        log_period: int = LOG_PERIOD,
+        log_file: Optional[str] = None,
+    ):
+        """log_file: optional path; every logged stats dict is also appended
+        there as one JSON line (consumed by tools/dashboard.py — the
+        reference's mint web-UI analogue browses this instead of a live
+        workspace)."""
         self.max_iter = max_iter
         self.log_period = log_period
+        self.log_file = log_file
         self.iter_timer = Timer()
         self.smoothed: Dict[str, SmoothedValue] = {}
         self.smoothed_total_loss = SmoothedValue()
@@ -78,4 +88,10 @@ class TrainingStats:
 
     def log_iter_stats(self, cur_iter: int, lr: float, extra: Optional[dict] = None):
         if (cur_iter % self.log_period == 0) or (cur_iter == self.max_iter - 1):
-            log_json_stats(self.get_stats(cur_iter, lr, extra))
+            stats = self.get_stats(cur_iter, lr, extra)
+            log_json_stats(stats)
+            if self.log_file:
+                import json
+
+                with open(self.log_file, "a") as f:
+                    f.write(json.dumps(stats, sort_keys=True) + "\n")

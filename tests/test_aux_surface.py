@@ -153,3 +153,35 @@ def test_net_drawer_writes_dot(tmp_path):
     text = open(out).read()
     assert text.startswith("digraph")
     assert "->" in text and "params" in text
+
+
+def test_dashboard_report(tmp_path):
+    """tools/dashboard: the mint-web-UI devtool analogue
+    (caffe2/python/mint/app.py) — TrainingStats' log_file sink feeds a
+    standalone HTML report with per-metric charts + checkpoint table."""
+    from sad_tpu.tools.dashboard import main, render_report
+    from sad_tpu.utils.stats import TrainingStats
+
+    run = tmp_path / "train" / "coco_2017_val"
+    run.mkdir(parents=True)
+    stats = TrainingStats(100, log_period=1, log_file=str(run / "stats.jsonl"))
+    for it in range(5):
+        stats.iter_tic()
+        stats.iter_toc()
+        stats.update_iter_stats(it, {"loss": 2.0 - 0.3 * it,
+                                     "fl_fpn3": 1.0 / (it + 1)})
+        stats.log_iter_stats(it, 0.01)
+    with open(run / "model_iter1.pkl", "wb") as f:
+        pickle.dump({"params": {}}, f)
+    (run / "cfg.yaml").write_text("MODEL:\n  TYPE: retinanet\n")
+
+    out = main(["--dir", str(tmp_path), "--out", str(tmp_path / "r.html")])
+    text = open(out).read()
+    assert "<svg" in text and "polyline" in text
+    assert "fl_fpn3" in text and "loss" in text
+    assert "model_iter1.pkl" in text
+    assert "MODEL:" in text  # config inlined
+    # empty dir degrades gracefully
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    assert "No stats.jsonl" in render_report(str(empty))

@@ -86,6 +86,25 @@ def test_train_eval_gate_passes_and_checkpoints(gate_env):
     train_dir = os.path.join(gate_env["out_dir"], "train", DATASET)
     assert os.path.exists(os.path.join(train_dir, "model_final.pkl"))
 
+    # run artifacts: cfg.yaml + stats.jsonl in the run dir, cfg embedded in
+    # the checkpoint (ref: net.py:149-182), dashboard renders the dir
+    import pickle
+
+    import yaml as _yaml
+
+    assert os.path.exists(os.path.join(train_dir, "stats.jsonl"))
+    with open(os.path.join(train_dir, "cfg.yaml")) as f:
+        dumped = _yaml.safe_load(f)
+    assert dumped["MODEL"]["TYPE"] == "retinanet"
+    with open(os.path.join(train_dir, "model_final.pkl"), "rb") as f:
+        ck = pickle.load(f)
+    assert _yaml.safe_load(ck["cfg_yaml"])["MODEL"]["TYPE"] == "retinanet"
+
+    from sad_tpu.tools.dashboard import render_report
+
+    report = render_report(train_dir)
+    assert "stats.jsonl" in report and "model_final.pkl" in report
+
 
 def test_test_net_gate_fails_on_regression(gate_env):
     """The same weights cannot reach AP 0.9 — the gate must raise."""

@@ -132,3 +132,22 @@ def test_freeze_conv_body_mask():
     m = trainable_mask(params, freeze_at=0, freeze_conv_body=True)
     assert not m["fpn"]["conv1"]["kernel"] and not m["fpn"]["conv1"]["bias"]
     assert m["box_head"]["fc6"]["kernel"] and m["box_head"]["fc6"]["bias"]
+
+
+def test_cfg_yaml_roundtrip(tmp_path):
+    """cfg_to_yaml output reloads through the normal merge path and
+    reproduces the config exactly (the checkpoint-embedded cfg, ref
+    net.py:149-182)."""
+    import yaml as _yaml
+
+    from sad_tpu.config import load_cfg
+    from sad_tpu.config.config import cfg_to_yaml, merge_cfg_from_dict
+
+    cfg = load_cfg(
+        "/root/reference/detectron/configs/focal_distillation/"
+        "retinanet_R-50-FPN_distillation.yaml",
+        ["NUM_GPUS", "2", "TRAIN.WEIGHTS", ""],
+    )
+    text = cfg_to_yaml(cfg)
+    reloaded = merge_cfg_from_dict(load_cfg(), _yaml.safe_load(text))
+    assert reloaded == cfg
