@@ -265,6 +265,16 @@ class TestDevicePrefetcher:
         assert fake.down
 
 
+class _HardCrashBuilder:
+    """Picklable builder that hard-kills the worker process (no traceback
+    path) — simulates an OOM-kill / native segfault."""
+
+    def build(self, entries, seed=None):
+        import os as _os
+
+        _os._exit(3)
+
+
 class TestMultiprocessLoader:
     """Process-pool minibatch building (data/mp_loader.py) behind the
     TrainingLoader interface."""
@@ -313,6 +323,26 @@ class TestMultiprocessLoader:
             for _ in range(4):
                 b = loader.get_next_batch()
                 assert b["data_u8"].shape[0] == 2
+        finally:
+            loader.shutdown()
+
+    def test_detects_silently_dead_workers(self, synth_dataset):
+        """A worker killed without shipping a traceback (OOM-kill/segfault)
+        must surface as an error, not hang the consumer forever."""
+        from sad_tpu.data.mp_loader import MultiprocessTrainingLoader
+
+        cfg = tiny_train_cfg()
+        ds = CocoDataset(synth_dataset)
+        roidb = ds.get_roidb()
+        loader = MultiprocessTrainingLoader(
+            cfg, roidb, batch_images=2, num_workers=1,
+            builder=_HardCrashBuilder(),
+        )
+        loader.start()
+        try:
+            with pytest.raises(RuntimeError) as exc_info:
+                loader.get_next_batch()
+            assert "workers died" in str(exc_info.value.__cause__)
         finally:
             loader.shutdown()
 
