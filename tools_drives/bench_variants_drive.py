@@ -99,39 +99,51 @@ def main():
     lr = jnp.float32(1e-6)
     results = {}
 
-    # A: f32 dual-stream
-    rng = np.random.RandomState(1)
-    batch_a = dict(base)
-    batch_a["data"] = jnp.asarray(
-        rng.randn(n_images, 640, 1024, 3), jnp.float32)
-    batch_a["teacher_data"] = jnp.asarray(
-        rng.randn(n_images, 640, 1024, 3), jnp.float32)
+    # the step donates its TrainState — keep a host copy so each variant
+    # starts from identical, undeleted params
+    sp_host = jax.tree.map(np.asarray, sp)
+    del sp
+
+    def fresh_state():
+        p = jax.tree.map(jnp.asarray, sp_host)
+        return TrainState(p, init_momentum_state(p).velocity)
+
+    import sys
+
     step = jax.jit(
         make_train_step(scfg, student, teacher, n_groups=n_groups,
                         teacher_cfg=tcfg),
         donate_argnums=(0,),
     )
-    state = TrainState(sp, init_momentum_state(sp).velocity)
-    results["A_f32_dual"] = time_step(step, state, tp, batch_a, lr, n_images)
-    print("A (f32 dual-stream):", results["A_f32_dual"], flush=True)
-    del batch_a
+
+    if "--skip-a" not in sys.argv:
+        # A: f32 dual-stream
+        rng = np.random.RandomState(1)
+        batch_a = dict(base)
+        batch_a["data"] = jnp.asarray(
+            rng.randn(n_images, 640, 1024, 3), jnp.float32)
+        batch_a["teacher_data"] = jnp.asarray(
+            rng.randn(n_images, 640, 1024, 3), jnp.float32)
+        results["A_f32_dual"] = time_step(
+            step, fresh_state(), tp, batch_a, lr, n_images)
+        print("A (f32 dual-stream):", results["A_f32_dual"], flush=True)
+        del batch_a
 
     # B: shared u8 canvas, on-device normalization (the shipped path)
     batch_b = dict(base)
     batch_b["data_u8"] = jnp.asarray(u8)
     batch_b["content_hw"] = jnp.asarray(
         np.tile(np.float32([600.0, 1000.0]), (n_images, 1)))
-    state = TrainState(sp, init_momentum_state(sp).velocity)
-    results["B_u8_shared"] = time_step(step, state, tp, batch_b, lr, n_images)
+    results["B_u8_shared"] = time_step(
+        step, fresh_state(), tp, batch_b, lr, n_images)
     print("B (u8 shared canvas):", results["B_u8_shared"], flush=True)
 
     # C: B + bf16-stored teacher params
     tp16 = jax.tree.map(
         lambda x: x.astype(jnp.bfloat16)
         if x.dtype == jnp.float32 else x, tp)
-    state = TrainState(sp, init_momentum_state(sp).velocity)
     results["C_u8_bf16_teacher"] = time_step(
-        step, state, tp16, batch_b, lr, n_images)
+        step, fresh_state(), tp16, batch_b, lr, n_images)
     print("C (u8 + bf16 teacher):", results["C_u8_bf16_teacher"], flush=True)
 
     print(json.dumps({k: {"imgs_per_s": round(v[0], 2),
