@@ -32,12 +32,17 @@ def main():
     student_cfg = load_cfg(
         "/root/reference/detectron/configs/focal_distillation/"
         "retinanet_R-50-FPN_distillation.yaml",
-        ["NUM_GPUS", "8", "TRAIN.WEIGHTS", "", "COMPUTE_DTYPE", "bfloat16"],
+        ["NUM_GPUS", "8", "TRAIN.WEIGHTS", "", "COMPUTE_DTYPE", "bfloat16",
+         # random-init + std~60 mean-only-normalized inputs diverge; unit
+         # scale keeps every timed iteration finite (and real — see the
+         # memoization hazard note in BENCH_NOTES.md)
+         "PIXEL_STD", "(57.375,57.12,58.395)"],
     )
     teacher_cfg = load_cfg(
         "/root/reference/detectron/configs/focal_distillation/"
         "retinanet_R-101-FPN_1x_teacher.yaml",
-        ["NUM_GPUS", "8", "TRAIN.WEIGHTS", "", "COMPUTE_DTYPE", "bfloat16"],
+        ["NUM_GPUS", "8", "TRAIN.WEIGHTS", "", "COMPUTE_DTYPE", "bfloat16",
+         "PIXEL_STD", "(57.375,57.12,58.395)"],
     )
 
     h, w = 640, 1024
@@ -55,9 +60,14 @@ def main():
 
     rng = np.random.RandomState(0)
     a = student_cfg.num_anchors_per_cell()
+    # the shipped training input path: ONE raw uint8 canvas per image,
+    # student+teacher normalization applied on device (round-2 sweep:
+    # 106.4 imgs/s vs 106.0 for dual-f32; tools_drives/bench_variants_drive)
     batch = {
-        "data": jnp.asarray(rng.randn(n_images, h, w, 3), jnp.float32),
-        "teacher_data": jnp.asarray(rng.randn(n_images, h, w, 3), jnp.float32),
+        "data_u8": jnp.asarray(
+            rng.randint(90, 150, (n_images, h, w, 3)).astype(np.uint8)),
+        "content_hw": jnp.asarray(
+            np.tile(np.float32([600.0, 1000.0]), (n_images, 1))),
         "labels": {},
         "bbox_targets": {},
         "fg_mask": {},
@@ -77,7 +87,8 @@ def main():
         )
 
     step = jax.jit(
-        make_train_step(student_cfg, student, teacher, n_groups=n_groups),
+        make_train_step(student_cfg, student, teacher, n_groups=n_groups,
+                        teacher_cfg=teacher_cfg),
         donate_argnums=(0,),
     )
     state = TrainState(sp, init_momentum_state(sp).velocity)
