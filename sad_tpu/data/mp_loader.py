@@ -136,10 +136,12 @@ class MultiprocessTrainingLoader:
     def start(self, prefill: bool = False):
         # BLAS/OpenMP pools size themselves when the child imports numpy —
         # which happens during spawn bootstrap, BEFORE any initializer runs.
-        # Set the env in the parent around the spawns (children inherit it)
-        # so N workers don't each open a full cores-wide thread pool.
+        # Default the env in the parent around the spawns (children inherit
+        # it) so N workers don't each open a full cores-wide thread pool; an
+        # operator's explicit OMP_NUM_THREADS setting is honored.
         prior_omp = os.environ.get("OMP_NUM_THREADS")
-        os.environ["OMP_NUM_THREADS"] = "1"
+        if prior_omp is None:
+            os.environ["OMP_NUM_THREADS"] = "1"
         try:
             for i in range(self.num_workers):
                 p = self._ctx.Process(
@@ -214,13 +216,23 @@ class MultiprocessTrainingLoader:
             except queue.Empty:
                 # liveness: a worker that died WITHOUT shipping a traceback
                 # (OOM-kill, segfault in native code) would otherwise hang
-                # the consumer forever — the threaded loader always raises
-                if self._procs and all(not p.is_alive() for p in self._procs):
-                    codes = [p.exitcode for p in self._procs]
+                # the consumer — its claimed _inflight slot is never
+                # released, so even ONE such death eventually starves the
+                # dispatcher. Any abnormal exit is fatal (the threaded
+                # loader always raises); exitcode 0 means a clean return
+                # whose _ERROR message, if any, is already in the queue.
+                if self._stop.is_set():
+                    return  # shutdown terminates workers (exitcode -15)
+                dead = [
+                    p for p in self._procs
+                    if not p.is_alive() and p.exitcode not in (None, 0)
+                ]
+                if dead:
+                    codes = [p.exitcode for p in dead]
                     self._error = RuntimeError(
-                        f"all minibatch workers died (exit codes {codes}) "
-                        "without reporting an error — likely OOM or a "
-                        "native crash"
+                        f"{len(dead)} minibatch worker(s) died (exit codes "
+                        f"{codes}) without reporting an error — likely OOM "
+                        "or a native crash"
                     )
                     self._stop.set()
                     return

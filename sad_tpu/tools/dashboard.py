@@ -168,9 +168,15 @@ def render_report(root: str) -> str:
         keys.sort(key=lambda k: (_PRIORITY.index(k) if k in _PRIORITY
                                  else len(_PRIORITY), k))
         sections.append("<div class='charts'>")
+        import math
+
         for k in keys:
+            # drop non-finite values: a NaN row (the nan-abort iteration
+            # logs before the finite check) would poison min/max and render
+            # 'nan' SVG coordinates for the whole series
             pts = [(it, r[k]) for it, r in zip(iters, rows)
-                   if isinstance(r.get(k), (int, float))]
+                   if isinstance(r.get(k), (int, float))
+                   and math.isfinite(r[k])]
             if len(pts) < 2:
                 continue
             svg = metric_svg([p[0] for p in pts], [p[1] for p in pts], k)
@@ -223,6 +229,10 @@ def main(argv: Optional[List[str]] = None) -> str:
                     help="report path (default <dir>/report.html)")
     ap.add_argument("--serve", type=int, default=None, metavar="PORT",
                     help="serve the directory over HTTP after rendering")
+    ap.add_argument("--host", default="127.0.0.1",
+                    help="bind address for --serve (default loopback; the "
+                         "dir holds pickled checkpoints — expose it "
+                         "deliberately, not by default)")
     args = ap.parse_args(argv)
 
     out = args.out or os.path.join(args.dir, "report.html")
@@ -238,9 +248,11 @@ def main(argv: Optional[List[str]] = None) -> str:
         handler = functools.partial(
             http.server.SimpleHTTPRequestHandler, directory=args.dir
         )
-        logger.info("Serving %s on http://0.0.0.0:%d (report.html)",
-                    args.dir, args.serve)
-        with http.server.ThreadingHTTPServer(("", args.serve), handler) as srv:
+        logger.info("Serving %s on http://%s:%d (report.html)",
+                    args.dir, args.host, args.serve)
+        with http.server.ThreadingHTTPServer(
+            (args.host, args.serve), handler
+        ) as srv:
             srv.serve_forever()
     return out
 

@@ -207,9 +207,12 @@ def train_model(
 
     logger.info("Model parameter summary (net.py:224 print_net analogue):")
     print_model_summary(params, max_rows=12)
-    stats = TrainingStats(
-        max_iters, log_file=os.path.join(output_dir, "stats.jsonl")
-    )
+    stats_path = os.path.join(output_dir, "stats.jsonl")
+    if start_iter == 0 and os.path.exists(stats_path):
+        # fresh run into a reused dir: truncate, don't concatenate runs
+        # (a resume appends, keeping one continuous series)
+        os.remove(stats_path)
+    stats = TrainingStats(max_iters, log_file=stats_path)
     snapshot_period = max(1, cfg.TRAIN.SNAPSHOT_ITERS // max(cfg.NUM_GPUS, 1))
     cur_lr = get_lr_at_iter(cfg.SOLVER, start_iter)
 

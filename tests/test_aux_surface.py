@@ -171,6 +171,10 @@ def test_dashboard_report(tmp_path):
         stats.update_iter_stats(it, {"loss": 2.0 - 0.3 * it,
                                      "fl_fpn3": 1.0 / (it + 1)})
         stats.log_iter_stats(it, 0.01)
+    # the nan-abort iteration logs BEFORE the finite check — a NaN row must
+    # not poison the charts
+    with open(run / "stats.jsonl", "a") as f:
+        f.write('{"iter": 5, "loss": NaN, "fl_fpn3": 0.1}\n')
     with open(run / "model_iter1.pkl", "wb") as f:
         pickle.dump({"params": {}}, f)
     (run / "cfg.yaml").write_text("MODEL:\n  TYPE: retinanet\n")
@@ -178,6 +182,10 @@ def test_dashboard_report(tmp_path):
     out = main(["--dir", str(tmp_path), "--out", str(tmp_path / "r.html")])
     text = open(out).read()
     assert "<svg" in text and "polyline" in text
+    import re
+
+    for svg in re.findall(r"<svg.*?</svg>", text, re.S):
+        assert "nan" not in svg.lower()  # NaN row filtered from the charts
     assert "fl_fpn3" in text and "loss" in text
     assert "model_iter1.pkl" in text
     assert "MODEL:" in text  # config inlined

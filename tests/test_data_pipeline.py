@@ -342,7 +342,7 @@ class TestMultiprocessLoader:
         try:
             with pytest.raises(RuntimeError) as exc_info:
                 loader.get_next_batch()
-            assert "workers died" in str(exc_info.value.__cause__)
+            assert "died" in str(exc_info.value.__cause__)
         finally:
             loader.shutdown()
 
