@@ -253,13 +253,102 @@ def _pack_factor(m: int, n_groups: int) -> int:
     return 1
 
 
+def _choose_tile(rows_per_group: int):
+    """Largest divisor of rows_per_group in [8, 512] that is a multiple of 8.
+
+    When such a tile exists, every grid tile lies inside ONE group and
+    n_rows % TILE == 0, so the kernels drop ALL row masking (two full-tile
+    selects) and the n_groups-way masked accumulation — each tile just
+    writes its own partial sums (the group segment-sum happens outside).
+    Returns None when no aligned tile exists (tiny grids, e.g. P7's 90
+    rows/group) — those fall back to the masked TILE_ROWS path."""
+    best = None
+    for t in range(8, 513, 8):
+        if rows_per_group % t == 0:
+            best = t
+    return best
+
+
+def _fwd_kernel_aligned(
+    x_ref, pt_ref, t_ref,
+    out_ref,
+    *,
+    pack: int,
+    gamma_f: float, alpha_f: float,
+    gamma_d: float, alpha_d: float, beta_d: float, ignored_label: int,
+    logits_power: float, want_powsum: bool,
+):
+    x = x_ref[:].astype(jnp.float32)
+    pt = pt_ref[:].astype(jnp.float32)
+    lanes = x.shape[1]
+    t_f = _expand_labels(t_ref[:], lanes, pack)
+    c1, c2, dmask = _class_masks(t_f, x.shape, lanes, pack, ignored_label)
+    p, log_p, log_1mp, q, _ = _elementwise_terms(x, pt, gamma_d, beta_d)
+
+    focal = (
+        -c1 * alpha_f * _ipow_or_pow(1.0 - p, gamma_f) * log_p
+        - c2 * (1.0 - alpha_f) * _ipow_or_pow(p, gamma_f) * log_1mp
+    )
+    distill = (
+        -_ipow_or_pow(q, gamma_d)
+        * (alpha_d * pt * log_p + (1.0 - alpha_d) * (1.0 - pt) * log_1mp)
+        * dmask
+    )
+    out_ref[0, 0] = jnp.sum(focal)
+    out_ref[0, 1] = jnp.sum(distill)
+    if want_powsum:
+        out_ref[0, 2] = jnp.sum(jnp.power(pt, jnp.float32(logits_power)))
+    else:
+        out_ref[0, 2] = jnp.float32(0.0)
+
+
+def _bwd_kernel_aligned(
+    x_ref, pt_ref, t_ref, g_ref,
+    dx_ref,
+    *,
+    pack: int,
+    gamma_f: float, alpha_f: float,
+    gamma_d: float, alpha_d: float, beta_d: float, ignored_label: int,
+):
+    x = x_ref[:].astype(jnp.float32)
+    pt = pt_ref[:].astype(jnp.float32)
+    lanes = x.shape[1]
+    g_f = g_ref[0, 0]  # this tile's group scales, expanded outside
+    g_d = g_ref[1, 0]
+
+    t_f = _expand_labels(t_ref[:], lanes, pack)
+    c1, c2, dmask = _class_masks(t_f, x.shape, lanes, pack, ignored_label)
+    p, log_p, log_1mp, q, exp_neg_d = _elementwise_terms(x, pt, gamma_d, beta_d)
+
+    term1 = _ipow_or_pow(1.0 - p, gamma_f) * (1.0 - p - p * gamma_f * log_p)
+    term2 = _ipow_or_pow(p, gamma_f) * (log_1mp * (1.0 - p) * gamma_f - p)
+    dx_f = (-c1 * alpha_f * term1 - c2 * (1.0 - alpha_f) * term2) * g_f
+
+    d_loss_term = alpha_d * pt * log_p + (1.0 - alpha_d) * (1.0 - pt) * log_1mp
+    dx_d = (
+        -(
+            -(pt - p) * gamma_d * _ipow_or_pow(q, gamma_d - 1.0) * exp_neg_d
+            * d_loss_term
+            + _ipow_or_pow(q, gamma_d)
+            * (alpha_d * (pt - p) - (1.0 - 2.0 * alpha_d) * (1.0 - pt) * p)
+        )
+        * dmask
+        * g_d
+    )
+    dx_ref[:] = dx_f + dx_d
+
+
 def _pallas_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
 def _row_spec(width):
+    return _tile_spec(TILE_ROWS, width)
+
+
+def _tile_spec(tile, width):
     return pl.BlockSpec(
-        (TILE_ROWS, width), lambda i: (i, 0), memory_space=pltpu.VMEM
+        (tile, width), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
 
 
@@ -319,6 +408,34 @@ def _raw_fwd_impl(
     logits_power, want_powsum,
 ):
     x, pt, t, pack, r, rpg = _views(logits, teacher_probs, labels, n_groups)
+    width = x.shape[-1]
+    tile = _choose_tile(rpg)
+    if tile is not None:
+        n_tiles = r // tile
+        kernel = functools.partial(
+            _fwd_kernel_aligned,
+            pack=pack,
+            gamma_f=gamma_f, alpha_f=alpha_f,
+            gamma_d=gamma_d, alpha_d=alpha_d, beta_d=beta_d,
+            ignored_label=ignored_label,
+            logits_power=logits_power, want_powsum=want_powsum,
+        )
+        sums = pl.pallas_call(
+            kernel,
+            grid=(n_tiles,),
+            in_specs=[
+                _tile_spec(tile, width), _tile_spec(tile, width),
+                _tile_spec(tile, pack),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 3), lambda i: (i, 0), memory_space=pltpu.SMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((n_tiles, 3), jnp.float32),
+            interpret=_pallas_interpret(),
+        )(x, pt, t)
+        per_group = sums.reshape(n_groups, n_tiles // n_groups, 3).sum(axis=1)
+        out = (per_group[:, 0], per_group[:, 1], per_group[:, 2])
+        return out, (logits, teacher_probs, labels)
     kernel = functools.partial(
         _fwd_kernel,
         pack=pack, n_rows=r, rows_per_group=rpg, n_groups=n_groups,
@@ -327,7 +444,6 @@ def _raw_fwd_impl(
         ignored_label=ignored_label,
         logits_power=logits_power, want_powsum=want_powsum,
     )
-    width = x.shape[-1]
     sums = pl.pallas_call(
         kernel,
         grid=(pl.cdiv(r, TILE_ROWS),),
@@ -364,6 +480,38 @@ def _raw_bwd(
     g_arr = jnp.stack(
         [jnp.asarray(g_focal, jnp.float32), jnp.asarray(g_distill, jnp.float32)]
     )  # (2, G)
+    width = x.shape[-1]
+    tile = _choose_tile(rpg)
+    if tile is not None:
+        n_tiles = r // tile
+        # expand the per-group scales to per-tile (2, n_tiles) so each tile
+        # reads its own (2, 1) SMEM block with static indices
+        g_tiled = jnp.repeat(g_arr, n_tiles // n_groups, axis=1)
+        kernel = functools.partial(
+            _bwd_kernel_aligned,
+            pack=pack,
+            gamma_f=gamma_f, alpha_f=alpha_f,
+            gamma_d=gamma_d, alpha_d=alpha_d, beta_d=beta_d,
+            ignored_label=ignored_label,
+        )
+        dx = pl.pallas_call(
+            kernel,
+            grid=(n_tiles,),
+            in_specs=[
+                _tile_spec(tile, width), _tile_spec(tile, width),
+                _tile_spec(tile, pack),
+                pl.BlockSpec((2, 1), lambda i: (0, i),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=_tile_spec(tile, width),
+            out_shape=jax.ShapeDtypeStruct((r, width), jnp.float32),
+            interpret=_pallas_interpret(),
+        )(x, pt, t, g_tiled)
+        return (
+            dx.reshape(logits.shape).astype(logits.dtype),
+            jnp.zeros_like(teacher_probs),
+            np.zeros(labels.shape, dtype=jax.dtypes.float0),
+        )
     kernel = functools.partial(
         _bwd_kernel,
         pack=pack, n_rows=r, rows_per_group=rpg, n_groups=n_groups,
@@ -371,7 +519,6 @@ def _raw_bwd(
         gamma_d=gamma_d, alpha_d=alpha_d, beta_d=beta_d,
         ignored_label=ignored_label,
     )
-    width = x.shape[-1]
     dx = pl.pallas_call(
         kernel,
         grid=(pl.cdiv(r, TILE_ROWS),),

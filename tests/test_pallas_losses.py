@@ -197,3 +197,82 @@ def test_raw_per_group_with_inkernel_powsum():
     np.testing.assert_allclose(np.asarray(n1), np.asarray(n2), rtol=RTOL)
     np.testing.assert_allclose(np.asarray(g1a), np.asarray(g2a), rtol=2e-3, atol=ATOL)
     np.testing.assert_allclose(np.asarray(g1b), np.asarray(g2b), rtol=2e-3, atol=ATOL)
+
+
+class TestAlignedTilePath:
+    """Geometries where the tile divides rows-per-group take the aligned
+    kernels (no row masks, per-tile partial sums); numerics must match the
+    separate ops exactly like the masked fallback path does."""
+
+    def _aligned_case(self, seed, g=2):
+        # 2 imgs x 8x8x4 anchors = 512 labels; pack 8 -> r=64, rpg=64/g
+        rng = np.random.RandomState(seed)
+        n, h, w, a, c = 2, 8, 8, 4, 80
+        logits = jnp.asarray(rng.randn(n, h, w, a, c) * 3, jnp.float32)
+        pt = jnp.asarray(
+            rng.uniform(1e-4, 1 - 1e-4, (n, h, w, a, c)), jnp.float32)
+        labels = jnp.asarray(rng.randint(-1, c + 1, (n, h, w, a)), jnp.int32)
+        return logits, pt, labels
+
+    def test_tile_chooser(self):
+        from sad_tpu.ops.pallas_losses import _choose_tile
+
+        assert _choose_tile(23040) == 512   # P3 bs32/G16 geometry
+        assert _choose_tile(5760) == 480    # P4
+        assert _choose_tile(360) == 360     # P6
+        assert _choose_tile(90) is None     # P7 -> masked fallback
+        assert _choose_tile(32) == 32
+
+    def test_aligned_forward_and_powsum_match(self):
+        from sad_tpu.ops.pallas_losses import _choose_tile, fused_cls_losses_raw
+
+        logits, pt, labels = self._aligned_case(0)
+        g = 2
+        assert _choose_tile(labels.size // 8 // g) is not None
+        raw = jax.jit(
+            fused_cls_losses_raw, static_argnums=tuple(range(3, 12))
+        )(logits, pt, labels, g, GAMMA_F, ALPHA_F, GAMMA_D, ALPHA_D,
+          BETA_D, IGN, 1.8, True)
+        # reference: per-group separate ops with Np=1 (raw sums)
+        lg = logits.reshape(g, -1, *logits.shape[1:])
+        pg = pt.reshape(g, -1, *pt.shape[1:])
+        tg = labels.reshape(g, -1, *labels.shape[1:])
+        for i in range(g):
+            f = L.sigmoid_focal_loss(lg[i], tg[i], 1.0, GAMMA_F, ALPHA_F, 1.0)
+            d = L.sigmoid_adaptive_distill_loss(
+                lg[i], pg[i], tg[i], 1.0, GAMMA_D, ALPHA_D, BETA_D, IGN, 1.0)
+            ps = jnp.sum(pg[i] ** 1.8)
+            np.testing.assert_allclose(raw[0][i], f, rtol=RTOL, atol=ATOL)
+            np.testing.assert_allclose(raw[1][i], d, rtol=RTOL, atol=ATOL)
+            np.testing.assert_allclose(raw[2][i], ps, rtol=RTOL, atol=ATOL)
+
+    def test_aligned_backward_matches(self):
+        logits, pt, labels = self._aligned_case(1)
+        fg = jnp.asarray([5.0, 9.0], jnp.float32)
+        dn = jnp.asarray([80.0, 120.0], jnp.float32)
+
+        def total_fused(x):
+            f, d = _fused(x, pt, labels, fg, dn)
+            return 1.3 * f + 0.7 * d
+
+        g1 = jax.jit(jax.grad(total_fused))(logits)
+        # per-group separate ops
+        lg = logits.reshape(2, -1, *logits.shape[1:])
+        pg = pt.reshape(2, -1, *pt.shape[1:])
+        tg = labels.reshape(2, -1, *labels.shape[1:])
+
+        def total_sep(x):
+            out = 0.0
+            for i in range(2):
+                xi = x.reshape(2, -1, *x.shape[1:])[i]
+                f = L.sigmoid_focal_loss(
+                    xi, tg[i], fg[i], GAMMA_F, ALPHA_F, SCALE_F)
+                d = L.sigmoid_adaptive_distill_loss(
+                    xi, pg[i], tg[i], dn[i], GAMMA_D, ALPHA_D, BETA_D, IGN,
+                    SCALE_D)
+                out = out + 1.3 * f + 0.7 * d
+            return out
+
+        g2 = jax.grad(total_sep)(logits)
+        np.testing.assert_allclose(
+            np.asarray(g1), np.asarray(g2), rtol=RTOL, atol=ATOL)
