@@ -294,12 +294,15 @@ def _fwd_kernel_aligned(
         * (alpha_d * pt * log_p + (1.0 - alpha_d) * (1.0 - pt) * log_1mp)
         * dmask
     )
-    out_ref[0, 0] = jnp.sum(focal)
-    out_ref[0, 1] = jnp.sum(distill)
+    # whole-array SMEM out ref (Mosaic requires SMEM blocks to equal the
+    # array shape); each tile writes only its own row
+    i = pl.program_id(0)
+    out_ref[i, 0] = jnp.sum(focal)
+    out_ref[i, 1] = jnp.sum(distill)
     if want_powsum:
-        out_ref[0, 2] = jnp.sum(jnp.power(pt, jnp.float32(logits_power)))
+        out_ref[i, 2] = jnp.sum(jnp.power(pt, jnp.float32(logits_power)))
     else:
-        out_ref[0, 2] = jnp.float32(0.0)
+        out_ref[i, 2] = jnp.float32(0.0)
 
 
 def _bwd_kernel_aligned(
@@ -313,8 +316,9 @@ def _bwd_kernel_aligned(
     x = x_ref[:].astype(jnp.float32)
     pt = pt_ref[:].astype(jnp.float32)
     lanes = x.shape[1]
-    g_f = g_ref[0, 0]  # this tile's group scales, expanded outside
-    g_d = g_ref[1, 0]
+    i = pl.program_id(0)
+    g_f = g_ref[0, i]  # this tile's group scales, expanded outside
+    g_d = g_ref[1, i]
 
     t_f = _expand_labels(t_ref[:], lanes, pack)
     c1, c2, dmask = _class_masks(t_f, x.shape, lanes, pack, ignored_label)
@@ -428,7 +432,7 @@ def _raw_fwd_impl(
                 _tile_spec(tile, pack),
             ],
             out_specs=pl.BlockSpec(
-                (1, 3), lambda i: (i, 0), memory_space=pltpu.SMEM
+                (n_tiles, 3), lambda i: (0, 0), memory_space=pltpu.SMEM
             ),
             out_shape=jax.ShapeDtypeStruct((n_tiles, 3), jnp.float32),
             interpret=_pallas_interpret(),
@@ -500,7 +504,7 @@ def _raw_bwd(
             in_specs=[
                 _tile_spec(tile, width), _tile_spec(tile, width),
                 _tile_spec(tile, pack),
-                pl.BlockSpec((2, 1), lambda i: (0, i),
+                pl.BlockSpec((2, n_tiles), lambda i: (0, 0),
                              memory_space=pltpu.SMEM),
             ],
             out_specs=_tile_spec(tile, width),
