@@ -80,6 +80,13 @@ def nms_fixed(
     return out_idx, out_valid
 
 
+# The Pallas greedy-NMS kernel runs the whole 100-iteration loop in one
+# program with VMEM-resident candidates (ops/pallas_nms.py) — identical
+# keep sequence, without the per-iteration dispatch overhead of the
+# fori_loop form. Flip off to force the pure-jnp path.
+USE_PALLAS_NMS = True
+
+
 def batched_nms(
     boxes: jnp.ndarray,  # (K, 4)
     scores: jnp.ndarray,  # (K,)
@@ -93,6 +100,10 @@ def batched_nms(
     offsets = classes.astype(jnp.float32)[:, None] * span  # (K, 1)
     shifted = boxes + offsets  # broadcast over x1,y1,x2,y2
     masked_scores = jnp.where(valid, scores, NEG_INF)
+    if USE_PALLAS_NMS:
+        from .pallas_nms import nms_fixed_pallas
+
+        return nms_fixed_pallas(shifted, masked_scores, iou_threshold, max_out)
     return nms_fixed(shifted, masked_scores, iou_threshold, max_out)
 
 

@@ -1,0 +1,133 @@
+"""Pallas TPU kernel for fixed-iteration greedy NMS.
+
+The jnp form (ops/nms.py nms_fixed) runs DETECTIONS_PER_IM (=100)
+sequential `fori_loop` iterations, each a handful of small VPU ops
+(argmax over K candidates, one-vs-all IoU, masked suppression) — on TPU
+the per-iteration fusion/dispatch overhead dominates the actual vector
+work. This kernel runs the whole greedy loop inside ONE Pallas program
+with the (K,) score row and (4, K) box planes resident in VMEM
+(K=5120 -> ~100 KB), eliminating that overhead entirely.
+
+Semantics are identical to nms_fixed (ref: lib/utils/cython_nms.pyx
+greedy order, legacy +1 IoU): at each step pick the highest-scoring live
+candidate, emit it, suppress everything above the IoU threshold against
+it (including itself). Invalid candidates carry NEG_INF scores and are
+never emitted (`valid` False).
+
+The public wrapper has the nms_fixed signature for a single image and
+composes with jax.vmap (the pallas batching rule turns the batch into a
+leading grid dimension) — inference calls it through
+ops.nms.batched_nms exactly as before.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = jnp.float32(-1e30)
+_NEG = -1e30  # python float: kernels must not capture traced constants
+LANES = 128
+
+
+def _nms_kernel(
+    boxes_ref,  # (4, K) VMEM: x1, y1, x2, y2 planes
+    scores_ref,  # (1, K) VMEM
+    idx_ref,  # (1, max_out) SMEM int32
+    valid_ref,  # (1, max_out) SMEM int32
+    *,
+    k: int,
+    max_out: int,
+    iou_threshold: float,
+):
+    x1 = boxes_ref[0:1, :]
+    y1 = boxes_ref[1:2, :]
+    x2 = boxes_ref[2:3, :]
+    y2 = boxes_ref[3:4, :]
+    areas = (x2 - x1 + 1.0) * (y2 - y1 + 1.0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)
+
+    def body(i, live):
+        pick_score = jnp.max(live)
+        # first max position, matching jnp.argmax tie-breaking
+        is_max = live == pick_score
+        pick = jnp.min(jnp.where(is_max, lane, k))
+        onehot = (lane == pick).astype(jnp.float32)
+        valid = pick_score > _NEG
+
+        px1 = jnp.sum(x1 * onehot)
+        py1 = jnp.sum(y1 * onehot)
+        px2 = jnp.sum(x2 * onehot)
+        py2 = jnp.sum(y2 * onehot)
+        parea = (px2 - px1 + 1.0) * (py2 - py1 + 1.0)
+
+        iw = jnp.maximum(
+            jnp.minimum(px2, x2) - jnp.maximum(px1, x1) + 1.0, 0.0
+        )
+        ih = jnp.maximum(
+            jnp.minimum(py2, y2) - jnp.maximum(py1, y1) + 1.0, 0.0
+        )
+        inter = iw * ih
+        iou = inter / (parea + areas - inter)
+
+        suppress = (iou > iou_threshold) | (onehot > 0.0)
+        live = jnp.where(
+            valid & suppress, jnp.full_like(live, _NEG), live
+        )
+        idx_ref[0, i] = jnp.where(valid, pick, 0)
+        valid_ref[0, i] = valid.astype(jnp.int32)
+        return live
+
+    jax.lax.fori_loop(0, max_out, body, scores_ref[:], unroll=False)
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def nms_fixed_pallas(
+    boxes: jnp.ndarray,  # (K, 4)
+    scores: jnp.ndarray,  # (K,); invalid candidates carry NEG_INF
+    iou_threshold: float,
+    max_out: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy NMS returning (indices (max_out,), valid (max_out,) bool),
+    identical to ops.nms.nms_fixed."""
+    k = boxes.shape[0]
+    kp = ((k + LANES - 1) // LANES) * LANES
+    planes = boxes.astype(jnp.float32).T  # (4, K)
+    if kp != k:
+        planes = jnp.pad(planes, ((0, 0), (0, kp - k)))
+        scores = jnp.pad(
+            scores.astype(jnp.float32), (0, kp - k),
+            constant_values=_NEG,
+        )
+    row = scores.astype(jnp.float32).reshape(1, kp)
+
+    kernel = functools.partial(
+        _nms_kernel, k=kp, max_out=max_out,
+        iou_threshold=float(iou_threshold),
+    )
+    idx, valid = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, max_out), jnp.int32),
+            jax.ShapeDtypeStruct((1, max_out), jnp.int32),
+        ],
+        interpret=_interpret(),
+    )(planes, row)
+    return idx[0], valid[0] > 0
