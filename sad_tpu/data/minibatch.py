@@ -128,7 +128,15 @@ def prep_image(
 
     new_w = int(round(im_bgr.shape[1] * scale))
     new_h = int(round(im_bgr.shape[0] * scale))
-    im = normalize_image(im_bgr, pixel_means, pixel_div, pixel_std)
+    if precise:
+        # the reference's EXACT float order (blob.py preprocess_im:
+        # x/div, -mean, /std — two true divisions, no fused reciprocal)
+        im = im_bgr.astype(np.float32)
+        im = im / np.float32(pixel_div)
+        im -= np.asarray(pixel_means, np.float32).reshape(1, 1, 3)
+        im /= np.asarray(pixel_std, np.float32).reshape(1, 1, 3)
+    else:
+        im = normalize_image(im_bgr, pixel_means, pixel_div, pixel_std)
     if (new_h, new_w) != im.shape[:2]:
         chans = [
             np.asarray(

@@ -157,11 +157,24 @@ class COCOEvaluator:
     # ------------------------------------------------------------- matching
 
     def _dt_area(self, d: Dict) -> float:
+        """Det area for the small/medium/large split: mask area for segm
+        (pycocotools maskUtils.area on the det's RLE) — uncompressed RLE,
+        compressed RLE string, or polygons (shoelace; pycocotools
+        rasterizes, so polygon areas agree to sub-pixel) — else bbox w*h."""
         if self.iou_type == "segm" and "segmentation" in d:
             seg = d["segmentation"]
-            counts = seg.get("counts") if isinstance(seg, dict) else None
-            if counts is not None and not isinstance(counts, (bytes, str)):
-                return float(sum(counts[1::2]))  # uncompressed RLE fg area
+            if isinstance(seg, dict):
+                counts = seg.get("counts")
+                if isinstance(counts, (bytes, str)):
+                    from sad_tpu.utils.segms import rle_string_to_counts
+
+                    counts = rle_string_to_counts(counts)
+                if counts is not None:
+                    return float(sum(counts[1::2]))  # RLE fg area
+            elif isinstance(seg, (list, tuple)) and seg:
+                from sad_tpu.utils.segms import polygon_area
+
+                return float(sum(polygon_area(p) for p in seg))
         return float(d["bbox"][2] * d["bbox"][3])
 
     def _evaluate_img_cat(

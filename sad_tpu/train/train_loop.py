@@ -149,7 +149,7 @@ def train_model(
 
     batch_images = getattr(
         loader, "batch_images", cfg.TRAIN.IMS_PER_BATCH * cfg.NUM_GPUS
-    ) if not own_loader else (cfg.TRAIN.IMS_PER_BATCH * cfg.NUM_GPUS)
+    )
     mesh = None
     n_data = _math.gcd(batch_images, jax.device_count())
     if n_data > 1:

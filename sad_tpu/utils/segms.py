@@ -112,3 +112,34 @@ def rle_to_mask(rle: dict) -> np.ndarray:
         pos += run
         val = 1 - val
     return flat.reshape((h, w), order="F")
+
+
+def rle_string_to_counts(s) -> List[int]:
+    """Decode a pycocotools COMPRESSED RLE counts string to the plain
+    run-length list (transcribes maskApi.c rleFrString: 5-bit groups in
+    ascii chars 48+, sign-extended, delta-coded against counts[i-2])."""
+    if isinstance(s, bytes):
+        s = s.decode("ascii")
+    counts: List[int] = []
+    p = 0
+    while p < len(s):
+        x, k, more = 0, 0, True
+        while more:
+            c = ord(s[p]) - 48
+            x |= (c & 0x1F) << (5 * k)
+            more = bool(c & 0x20)
+            p += 1
+            k += 1
+            if not more and (c & 0x10):
+                x |= -1 << (5 * k)
+        if len(counts) > 2:
+            x += counts[-2]
+        counts.append(x)
+    return counts
+
+
+def polygon_area(poly: Sequence[float]) -> float:
+    """Shoelace area of one flat [x0,y0,x1,y1,...] polygon."""
+    xs = np.asarray(poly[0::2], np.float64)
+    ys = np.asarray(poly[1::2], np.float64)
+    return float(abs(np.dot(xs, np.roll(ys, -1)) - np.dot(ys, np.roll(xs, -1))) / 2.0)

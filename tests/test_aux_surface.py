@@ -193,3 +193,61 @@ def test_dashboard_report(tmp_path):
     empty = tmp_path / "empty"
     empty.mkdir()
     assert "No stats.jsonl" in render_report(str(empty))
+
+
+class TestRLEString:
+    @staticmethod
+    def _encode(counts):
+        """Transcription of maskApi.c rleToString (the pycocotools
+        compressed-RLE encoder) as the test oracle."""
+        s = []
+        for i, c in enumerate(counts):
+            x = int(c)
+            if i > 2:
+                x -= int(counts[i - 2])
+            more = True
+            while more:
+                ch = x & 0x1F
+                x >>= 5
+                more = (x != -1) if (ch & 0x10) else (x != 0)
+                if more:
+                    ch |= 0x20
+                s.append(chr(ch + 48))
+        return "".join(s)
+
+    def test_roundtrip_random(self):
+        from sad_tpu.utils.segms import rle_string_to_counts
+
+        rng = np.random.RandomState(0)
+        for _ in range(20):
+            counts = rng.randint(0, 5000, rng.randint(1, 40)).tolist()
+            assert rle_string_to_counts(self._encode(counts)) == counts
+
+    def test_bytes_input_and_polygon_area(self):
+        from sad_tpu.utils.segms import polygon_area, rle_string_to_counts
+
+        counts = [3, 10, 2, 7]
+        assert rle_string_to_counts(self._encode(counts).encode()) == counts
+        # 10x4 axis-aligned rectangle
+        assert polygon_area([0, 0, 10, 0, 10, 4, 0, 4]) == 40.0
+
+    def test_dt_area_variants(self):
+        """_dt_area: mask area from uncompressed RLE, compressed RLE string,
+        and polygons — never silently bbox for a segm det."""
+        from sad_tpu.eval.coco_eval import COCOEvaluator
+
+        gt = {"images": [{"id": 1, "height": 20, "width": 20}],
+              "annotations": [], "categories": [{"id": 1, "name": "x"}]}
+        ev = COCOEvaluator(gt, iou_type="segm")
+        d_unc = {"bbox": [0, 0, 5, 5],
+                 "segmentation": {"size": [20, 20], "counts": [3, 7, 2, 8]}}
+        assert ev._dt_area(d_unc) == 15.0
+        d_cmp = {"bbox": [0, 0, 5, 5],
+                 "segmentation": {"size": [20, 20],
+                                  "counts": self._encode([3, 7, 2, 8])}}
+        assert ev._dt_area(d_cmp) == 15.0
+        d_poly = {"bbox": [0, 0, 5, 5],
+                  "segmentation": [[0, 0, 10, 0, 10, 4, 0, 4]]}
+        assert ev._dt_area(d_poly) == 40.0
+        d_bbox = {"bbox": [0, 0, 5, 5]}
+        assert ev._dt_area(d_bbox) == 25.0

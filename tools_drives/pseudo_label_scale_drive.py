@@ -17,6 +17,8 @@ import sys
 import tempfile
 import time
 
+import zlib
+
 import numpy as np
 from PIL import Image
 
@@ -24,7 +26,9 @@ from PIL import Image
 def make_dataset(root, name, n, w=996, h=600, boxed=True):
     img_dir = os.path.join(root, name)
     os.makedirs(img_dir, exist_ok=True)
-    rng = np.random.RandomState(hash(name) % 2**31)
+    # crc32, not hash(): str hashes are salted per process — the
+    # recorded numbers must be reproducible across runs
+    rng = np.random.RandomState(zlib.crc32(name.encode()) % 2**31)
     images, anns = [], []
     aid = 1
     for i in range(1, n + 1):
