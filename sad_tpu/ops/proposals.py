@@ -52,7 +52,18 @@ def generate_proposals(
     keep = (ws > min_size) & (hs > min_size)
     masked = jnp.where(keep, top_scores, NEG_INF)
 
-    idx, valid = nms_fixed(boxes, masked, nms_thresh, post_nms_top_n)
+    # Pallas greedy-NMS kernel (ops/pallas_nms.py): at RPN shapes
+    # (K=16384, post_n=2000) it measured 7.2 vs 55 ms/call AND compiles in
+    # <1 s vs ~25 min for the fori_loop form (tools_drives/
+    # rpn_nms_micro_drive.py). Identical keep sequence.
+    from .nms import USE_PALLAS_NMS
+
+    if USE_PALLAS_NMS:
+        from .pallas_nms import nms_fixed_pallas
+
+        idx, valid = nms_fixed_pallas(boxes, masked, nms_thresh, post_nms_top_n)
+    else:
+        idx, valid = nms_fixed(boxes, masked, nms_thresh, post_nms_top_n)
     return boxes[idx], jnp.where(valid, top_scores[idx], 0.0), valid
 
 
