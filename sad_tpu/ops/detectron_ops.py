@@ -41,41 +41,6 @@ FLT_MIN = float(np.finfo(np.float32).tiny)
 # --------------------------------------------------------------------------- #
 
 
-def _bilinear_values(features_bchw_flat, h, w, y, x):
-    """Exact bilinear_interpolate semantics (roi_align_op.cu:41-87):
-    zero outside [-1, size], clamp-below at 0, degenerate high==low at the
-    top edge. features: (H*W, C); y/x: (...,) sample coords."""
-    outside = (y < -1.0) | (y > h) | (x < -1.0) | (x > w)
-    y = jnp.maximum(y, 0.0)
-    x = jnp.maximum(x, 0.0)
-    y_low = jnp.floor(y).astype(jnp.int32)
-    x_low = jnp.floor(x).astype(jnp.int32)
-    y_at_top = y_low >= h - 1
-    x_at_top = x_low >= w - 1
-    y_low = jnp.where(y_at_top, h - 1, y_low)
-    x_low = jnp.where(x_at_top, w - 1, x_low)
-    y = jnp.where(y_at_top, y_low.astype(jnp.float32), y)
-    x = jnp.where(x_at_top, x_low.astype(jnp.float32), x)
-    y_high = jnp.where(y_at_top, y_low, y_low + 1)
-    x_high = jnp.where(x_at_top, x_low, x_low + 1)
-
-    ly = y - y_low
-    lx = x - x_low
-    hy = 1.0 - ly
-    hx = 1.0 - lx
-
-    def at(yy, xx):
-        return features_bchw_flat[yy * w + xx]  # (..., C)
-
-    val = (
-        (hy * hx)[..., None] * at(y_low, x_low)
-        + (hy * lx)[..., None] * at(y_low, x_high)
-        + (ly * hx)[..., None] * at(y_high, x_low)
-        + (ly * lx)[..., None] * at(y_high, x_high)
-    )
-    return jnp.where(outside[..., None], 0.0, val)
-
-
 def roi_align(
     features: jnp.ndarray,  # (B, H, W, C)
     rois: jnp.ndarray,  # (R, 5) [batch, x1, y1, x2, y2]
@@ -95,42 +60,67 @@ def roi_align(
     assert sampling_ratio > 0, "TPU path needs a static sampling_ratio (>0)"
     features = jnp.asarray(features)
     b, h, w, c = features.shape
-    feats_flat = features.reshape(b, h * w, c)
     res, sr = resolution, sampling_ratio
 
+    # TPU-native formulation: bilinear interpolation weights over a grid
+    # axis are exactly the tent function max(0, 1-|y-row|) after the CUDA
+    # kernel's edge handling (clamp-below 0, full weight to the top row
+    # when floor(y) >= n-1, zero outside [-1, n]). Since the kernel's
+    # weight of pixel (row, col) is the PRODUCT wy[row]*wx[col] and the
+    # sr x sr bin average distributes over that product, the whole op is
+    # two per-axis weight MATMULS: out = Wy @ F @ Wx^T. This keeps all the
+    # FLOPs on the MXU, and the backward is transposed matmuls — no
+    # scatter-add (the gather/scatter lowering measured ~100x off the
+    # traffic floor on TPU: 61 ms fwd / 232 ms fwd+bwd for 1024 rois at
+    # FPN scale vs ~1 ms of matmul work; BENCH_NOTES.md round-2 tail).
+    fmat = features.reshape(b * h, w * c)
+
+    def axis_weights(lo, bin_sz, n):
+        """Summed tent weights per output bin: (Rc, res, n), exact
+        bilinear_interpolate semantics per sample (roi_align_op.cu:41-87),
+        averaged over the sr samples of each bin."""
+        ph = jnp.arange(res, dtype=jnp.float32)
+        i = jnp.arange(sr, dtype=jnp.float32)
+        s = (
+            lo[:, None, None]
+            + ph[None, :, None] * bin_sz[:, None, None]
+            + (i[None, None, :] + 0.5) * bin_sz[:, None, None] / sr
+        )  # (Rc, res, sr)
+        inside = (s >= -1.0) & (s <= n)
+        s_eff = jnp.clip(s, 0.0, float(n - 1))
+        grid = jnp.arange(n, dtype=jnp.float32)
+        wts = jnp.maximum(0.0, 1.0 - jnp.abs(s_eff[..., None] - grid))
+        wts = wts * inside[..., None].astype(jnp.float32)
+        return wts.sum(axis=2) / sr  # (Rc, res, n)
+
     def one_chunk(rois_chunk):
+        rc = rois_chunk.shape[0]
         batch_idx = rois_chunk[:, 0].astype(jnp.int32)
         x1 = rois_chunk[:, 1] * spatial_scale
         y1 = rois_chunk[:, 2] * spatial_scale
         x2 = rois_chunk[:, 3] * spatial_scale
         y2 = rois_chunk[:, 4] * spatial_scale
-        roi_w = jnp.maximum(x2 - x1, 1.0)
-        roi_h = jnp.maximum(y2 - y1, 1.0)
-        bin_w = roi_w / res
-        bin_h = roi_h / res
+        bin_w = jnp.maximum(x2 - x1, 1.0) / res
+        bin_h = jnp.maximum(y2 - y1, 1.0) / res
 
-        ph = jnp.arange(res, dtype=jnp.float32)
-        iy = jnp.arange(sr, dtype=jnp.float32)
-        # sample coords: (R, res, sr)
-        ys = (
-            y1[:, None, None]
-            + ph[None, :, None] * bin_h[:, None, None]
-            + (iy[None, None, :] + 0.5) * bin_h[:, None, None] / sr
+        wy = axis_weights(y1, bin_h, h)  # (Rc, res, h)
+        wx = axis_weights(x1, bin_w, w)  # (Rc, res, w)
+        # fold each roi's batch selection into the row weights
+        onb = (
+            batch_idx[:, None] == jnp.arange(b, dtype=jnp.int32)[None, :]
+        ).astype(jnp.float32)
+        wyb = (onb[:, None, :, None] * wy[:, :, None, :]).reshape(
+            rc * res, b * h
         )
-        xs = (
-            x1[:, None, None]
-            + ph[None, :, None] * bin_w[:, None, None]
-            + (iy[None, None, :] + 0.5) * bin_w[:, None, None] / sr
-        )
-        # full grids: (R, res, sr, res, sr)
-        yy = ys[:, :, :, None, None] * jnp.ones((1, 1, 1, res, sr))
-        xx = xs[:, None, None, :, :] * jnp.ones((1, res, sr, 1, 1))
-
-        def per_roi(bi, yy_r, xx_r):
-            vals = _bilinear_values(feats_flat[bi], h, w, yy_r, xx_r)
-            return vals.mean(axis=(1, 3))  # avg over the sr x sr grid
-
-        return jax.vmap(per_roi)(batch_idx, yy, xx)
+        out1 = jax.lax.dot_general(
+            wyb, fmat, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(rc, res, w, c)
+        out2 = jax.lax.dot_general(
+            out1, wx, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (Rc, res_y, c, res_x)
+        return out2.transpose(0, 1, 3, 2).astype(features.dtype)
 
     r = rois.shape[0]
     if r <= roi_chunk:

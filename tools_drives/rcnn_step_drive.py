@@ -1,0 +1,113 @@
+"""Chip drive: realistic-scale Faster R-CNN train-step throughput.
+
+e2e Faster R-CNN R-50-FPN at the reference 1x geometry (800 shortest
+side -> 832x1344 canvas, 2 imgs, RPN POST_NMS_TOP_N=2000, 512 RoIs/im)
+— the configuration whose graph was compile-prohibitive before the RPN
+proposal NMS moved to the Pallas kernel (~25 min per NMS instance x 5
+FPN levels; see rpn_nms_micro_drive results in BENCH_NOTES.md).
+
+Honest evolving-state timing (LR 1e-6, finite-loss asserts).
+Reference baseline: e2e Faster R-CNN R-50-FPN 1x trains at 16 imgs /
+0.544 s on 8x P100 = 3.68 imgs/s/GPU (upstream MODEL_ZOO.md).
+
+Run: PYTHONPATH="/root/repo:$PYTHONPATH" python tools_drives/rcnn_step_drive.py
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from sad_tpu.config import load_cfg
+    from sad_tpu.models import create_model
+    from sad_tpu.models.model_builder import init_model_params
+    from sad_tpu.train import TrainState, init_momentum_state
+    from sad_tpu.train.rcnn_train import make_rcnn_train_step
+
+    cfg = load_cfg(
+        "/root/reference/detectron/configs/model_comp/"
+        "e2e_faster_rcnn_R-50-FPN_1x.yaml",
+        ["NUM_GPUS", "1", "TRAIN.WEIGHTS", "", "COMPUTE_DTYPE", "bfloat16",
+         "PIXEL_STD", "(57.375,57.12,58.395)"],
+    )
+    from sad_tpu.data.minibatch import canvas_shapes
+
+    (h, w), _ = canvas_shapes(cfg)
+    n_images = cfg.TRAIN.IMS_PER_BATCH  # 2
+    model = create_model(cfg)
+    params = init_model_params(model, jax.random.PRNGKey(0), (1, h, w, 3))
+
+    # real minibatch builder over synthetic 600x980 images
+    import os
+    import tempfile
+
+    from PIL import Image
+
+    from sad_tpu.data.rpn_minibatch import RCNNMinibatchBuilder
+
+    rng = np.random.RandomState(0)
+    d = tempfile.mkdtemp(prefix="rcnn_step_")
+    entries = []
+    for i in range(n_images):
+        p = os.path.join(d, f"{i}.png")
+        Image.fromarray(rng.randint(0, 255, (600, 980, 3), np.uint8)).save(p)
+        nb = 8
+        x0 = rng.uniform(0, 800, nb)
+        y0 = rng.uniform(0, 450, nb)
+        bw = rng.uniform(40, 160, nb)
+        bh = rng.uniform(40, 120, nb)
+        entries.append({
+            "id": i + 1, "image": p, "width": 980, "height": 600,
+            "flipped": False,
+            "boxes": np.stack([x0, y0, x0 + bw, y0 + bh], 1).astype(np.float32),
+            "gt_classes": rng.randint(
+                1, cfg.MODEL.NUM_CLASSES, nb).astype(np.int32),
+            "is_crowd": np.zeros(nb, bool),
+            "segms": [None] * nb,
+        })
+    built = RCNNMinibatchBuilder(cfg).build(entries, seed=0)
+    batch = jax.tree.map(
+        jnp.asarray, built.as_pytree() if hasattr(built, "as_pytree") else built
+    )
+    print("canvas:", (h, w), "batch keys:", sorted(batch)[:6], flush=True)
+
+    step = jax.jit(
+        make_rcnn_train_step(cfg, model, n_groups=1), donate_argnums=(0,)
+    )
+    state = TrainState(params, init_momentum_state(params).velocity)
+    lr = jnp.float32(1e-6)
+    key = jax.random.PRNGKey(3)
+
+    t0 = time.perf_counter()
+    state, metrics = step(state, batch, lr, key)
+    jax.block_until_ready(metrics["loss"])
+    compile_s = time.perf_counter() - t0
+    assert np.isfinite(float(metrics["loss"])), "NaN in warmup"
+    state, metrics = step(state, batch, lr, key)
+    jax.block_until_ready(metrics["loss"])
+
+    iters = 20
+    t0 = time.perf_counter()
+    for i in range(iters):
+        key, sub = jax.random.split(key)
+        state, metrics = step(state, batch, lr, sub)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+    assert np.isfinite(float(metrics["loss"]))
+
+    print(json.dumps({
+        "metric": "faster_rcnn_train_imgs_per_sec_per_chip",
+        "value": round(n_images * iters / dt, 2),
+        "ms_per_step": round(dt / iters * 1e3, 1),
+        "compile_s": round(compile_s, 1),
+        "vs_baseline": round(n_images * iters / dt / 3.68, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
