@@ -31,7 +31,7 @@ from sad_tpu.config import Config
 from sad_tpu.data.anchors import retinanet_cell_anchors
 from sad_tpu.models import RetinaNet
 from sad_tpu.ops.box_transforms import bbox_transform
-from sad_tpu.ops.nms import NEG_INF, batched_nms
+from sad_tpu.ops.nms import NEG_INF
 
 
 def _level_candidates(
@@ -138,17 +138,7 @@ def decode_detections(
         scores = jnp.concatenate(all_scores)
         classes = jnp.concatenate(all_cls)
         valid = jnp.concatenate(all_valid)
-
-        keep_idx, keep_valid = batched_nms(
-            boxes, scores, classes, valid,
-            cfg.TEST.NMS, cfg.TEST.DETECTIONS_PER_IM,
-        )
-        return {
-            "boxes": boxes[keep_idx],
-            "scores": jnp.where(keep_valid, scores[keep_idx], 0.0),
-            "classes": jnp.where(keep_valid, classes[keep_idx] + 1, 0),
-            "valid": keep_valid,
-        }
+        return boxes, scores, classes, valid
 
     probs = {lvl: _split_anchor(outputs["cls_prob"][lvl], a) for lvl in levels}
     if cfg.RETINANET.SOFTMAX:
@@ -158,7 +148,27 @@ def decode_detections(
     if not use_bbox_reg:
         boxes = {lvl: jnp.zeros_like(b) for lvl, b in boxes.items()}
 
-    return jax.vmap(one_image)(probs, boxes, im_hw, im_scale)
+    # candidates per image under vmap; ONE class-wise NMS call over the
+    # whole batch (the Pallas kernel packs 8 images into the VPU sublanes —
+    # ~8x cheaper than NMS inside the vmap, identical results)
+    from sad_tpu.ops.nms import batched_nms_multi
+
+    boxes_b, scores_b, classes_b, valid_b = jax.vmap(one_image)(
+        probs, boxes, im_hw, im_scale
+    )
+    keep_idx, keep_valid = batched_nms_multi(
+        boxes_b, scores_b, classes_b, valid_b,
+        cfg.TEST.NMS, cfg.TEST.DETECTIONS_PER_IM,
+    )
+    kept_boxes = jnp.take_along_axis(boxes_b, keep_idx[..., None], axis=1)
+    kept_scores = jnp.take_along_axis(scores_b, keep_idx, axis=1)
+    kept_classes = jnp.take_along_axis(classes_b, keep_idx, axis=1)
+    return {
+        "boxes": kept_boxes,
+        "scores": jnp.where(keep_valid, kept_scores, 0.0),
+        "classes": jnp.where(keep_valid, kept_classes + 1, 0),
+        "valid": keep_valid,
+    }
 
 
 def _split_anchor(x: jnp.ndarray, num_anchors: int) -> jnp.ndarray:

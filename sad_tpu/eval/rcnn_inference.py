@@ -15,7 +15,6 @@ import jax.numpy as jnp
 
 from sad_tpu.config import Config
 from sad_tpu.ops.box_transforms import bbox_transform, clip_boxes
-from sad_tpu.ops.nms import batched_nms
 
 
 def decode_rcnn_detections(
@@ -57,20 +56,28 @@ def decode_rcnn_detections(
             jnp.broadcast_to(valid[:, None], (r, fg)).reshape(-1)
             & (scores > cfg.TEST.SCORE_THRESH)
         )
-        keep_idx, keep_valid = batched_nms(
-            decoded, scores, classes, cand_valid,
-            cfg.TEST.NMS, cfg.TEST.DETECTIONS_PER_IM,
-        )
-        return {
-            "boxes": decoded[keep_idx],
-            "scores": jnp.where(keep_valid, scores[keep_idx], 0.0),
-            "classes": jnp.where(keep_valid, classes[keep_idx] + 1, 0),
-            "valid": keep_valid,
-        }
+        return decoded, scores, classes, cand_valid
 
-    return jax.vmap(one_image)(
+    # one sublane-packed class-wise NMS call over the whole batch (8
+    # images per kernel program; identical per-image results)
+    from sad_tpu.ops.nms import batched_nms_multi
+
+    boxes_b, scores_b, classes_b, valid_b = jax.vmap(one_image)(
         rois, roi_valid, cls_prob, bbox_pred, im_hw, im_scale
     )
+    keep_idx, keep_valid = batched_nms_multi(
+        boxes_b, scores_b, classes_b, valid_b,
+        cfg.TEST.NMS, cfg.TEST.DETECTIONS_PER_IM,
+    )
+    kept_boxes = jnp.take_along_axis(boxes_b, keep_idx[..., None], axis=1)
+    kept_scores = jnp.take_along_axis(scores_b, keep_idx, axis=1)
+    kept_classes = jnp.take_along_axis(classes_b, keep_idx, axis=1)
+    return {
+        "boxes": kept_boxes,
+        "scores": jnp.where(keep_valid, kept_scores, 0.0),
+        "classes": jnp.where(keep_valid, kept_classes + 1, 0),
+        "valid": keep_valid,
+    }
 
 
 def make_rcnn_inference_fn(cfg: Config, model) -> Callable:

@@ -47,7 +47,7 @@ def roi_align(
     spatial_scale: float,
     resolution: int,
     sampling_ratio: int = 2,
-    roi_chunk: int = 64,
+    roi_chunk: int = 256,
 ) -> jnp.ndarray:
     """RoIAlign, exact Detectron semantics (roi_align_op.cu:89-160): no
     rounding of roi coords, malformed rois forced to 1x1, average of an
@@ -116,11 +116,14 @@ def roi_align(
             wyb, fmat, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).reshape(rc, res, w, c)
+        # operand order keeps C the minor (lane) dim of the result — the
+        # remaining (res_x, res_y) swap is a cheap sublane shuffle, not a
+        # lane-dim relayout
         out2 = jax.lax.dot_general(
-            out1, wx, (((2,), (2,)), ((0,), (0,))),
+            wx, out1, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )  # (Rc, res_y, c, res_x)
-        return out2.transpose(0, 1, 3, 2).astype(features.dtype)
+        )  # (Rc, res_x, res_y, c)
+        return out2.transpose(0, 2, 1, 3).astype(features.dtype)
 
     r = rois.shape[0]
     if r <= roi_chunk:

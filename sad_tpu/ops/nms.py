@@ -107,6 +107,54 @@ def batched_nms(
     return nms_fixed(shifted, masked_scores, iou_threshold, max_out)
 
 
+def nms_multi(
+    boxes: jnp.ndarray,  # (N, K, 4)
+    masked_scores: jnp.ndarray,  # (N, K); invalid carry NEG_INF
+    iou_threshold: float,
+    max_out: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Plain (classless) greedy NMS over N independent problems in one
+    sublane-packed kernel call; per-problem results identical to
+    nms_fixed."""
+    if USE_PALLAS_NMS:
+        from .pallas_nms import nms_batched_pallas
+
+        return nms_batched_pallas(boxes, masked_scores, iou_threshold, max_out)
+    return jax.vmap(
+        lambda b, s: nms_fixed(b, s, iou_threshold, max_out)
+    )(boxes, masked_scores)
+
+
+def batched_nms_multi(
+    boxes: jnp.ndarray,  # (N, K, 4)
+    scores: jnp.ndarray,  # (N, K)
+    classes: jnp.ndarray,  # (N, K) int32
+    valid: jnp.ndarray,  # (N, K) bool
+    iou_threshold: float,
+    max_out: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Class-wise NMS over N independent problems at once — the Pallas
+    kernel packs 8 problems into the VPU sublanes, so running the whole
+    batch in one call is ~8x cheaper than vmapping the per-image form.
+    Per-problem results identical to batched_nms."""
+    span = (
+        jnp.max(
+            jnp.where(valid, boxes[..., 2:4].max(axis=-1), 0.0),
+            axis=1, keepdims=True,
+        )
+        + 1.0
+    )  # (N, 1) per-problem offset span, as in batched_nms
+    shifted = boxes + (classes.astype(jnp.float32) * span)[..., None]
+    masked = jnp.where(valid, scores, NEG_INF)
+    if USE_PALLAS_NMS:
+        from .pallas_nms import nms_batched_pallas
+
+        return nms_batched_pallas(shifted, masked, iou_threshold, max_out)
+    return jax.vmap(
+        lambda b, s: nms_fixed(b, s, iou_threshold, max_out)
+    )(shifted, masked)
+
+
 def soft_nms(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,

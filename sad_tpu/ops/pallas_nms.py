@@ -33,6 +33,10 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = jnp.float32(-1e30)
 _NEG = -1e30  # python float: kernels must not capture traced constants
 LANES = 128
+# whole-array VMEM blocks: 5 f32 planes of K lanes + intermediates must fit
+# scoped VMEM (16 MB) — beyond this K the jnp fori_loop path takes over
+# (real call sites pre-top-k to <= a few thousand candidates)
+MAX_K = 131072
 
 
 def _nms_kernel(
@@ -90,6 +94,121 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+SUBLANES = 8
+
+
+def _nms_kernel_batched(
+    boxes_ref,  # (1, 4, 8, K) VMEM block: x1, y1, x2, y2 planes, 8 problems
+    scores_ref,  # (1, 8, K) VMEM block
+    idx_ref,  # (1, 8, max_out) SMEM block int32
+    valid_ref,  # (1, 8, max_out) SMEM block int32
+    *,
+    k: int,
+    max_out: int,
+    iou_threshold: float,
+):
+    """8 independent greedy-NMS problems run in the 8 VPU sublanes at once
+    (the single-problem kernel uses 1 of 8 sublanes; the per-iteration ops
+    here are per-sublane reductions, so the batch is ~free)."""
+    x1 = boxes_ref[0, 0]
+    y1 = boxes_ref[0, 1]
+    x2 = boxes_ref[0, 2]
+    y2 = boxes_ref[0, 3]
+    areas = (x2 - x1 + 1.0) * (y2 - y1 + 1.0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (SUBLANES, k), 1)
+
+    def body(i, live):
+        pick_score = jnp.max(live, axis=1, keepdims=True)  # (8, 1)
+        is_max = live == pick_score
+        pick = jnp.min(jnp.where(is_max, lane, k), axis=1, keepdims=True)
+        onehot = (lane == pick).astype(jnp.float32)  # (8, K)
+        valid = pick_score > _NEG  # (8, 1)
+
+        px1 = jnp.sum(x1 * onehot, axis=1, keepdims=True)
+        py1 = jnp.sum(y1 * onehot, axis=1, keepdims=True)
+        px2 = jnp.sum(x2 * onehot, axis=1, keepdims=True)
+        py2 = jnp.sum(y2 * onehot, axis=1, keepdims=True)
+        parea = (px2 - px1 + 1.0) * (py2 - py1 + 1.0)
+
+        iw = jnp.maximum(
+            jnp.minimum(px2, x2) - jnp.maximum(px1, x1) + 1.0, 0.0
+        )
+        ih = jnp.maximum(
+            jnp.minimum(py2, y2) - jnp.maximum(py1, y1) + 1.0, 0.0
+        )
+        inter = iw * ih
+        iou = inter / (parea + areas - inter)
+
+        suppress = (iou > iou_threshold) | (onehot > 0.0)
+        live = jnp.where(
+            valid & suppress, jnp.full_like(live, _NEG), live
+        )
+        valid_i = valid.astype(jnp.int32)  # Mosaic: no bool scalar squeeze
+        picked = jnp.where(valid, pick, 0)
+        for j in range(SUBLANES):
+            idx_ref[0, j, i] = picked[j, 0]
+            valid_ref[0, j, i] = valid_i[j, 0]
+        return live
+
+    jax.lax.fori_loop(0, max_out, body, scores_ref[0], unroll=False)
+
+
+def nms_batched_pallas(
+    boxes: jnp.ndarray,  # (N, K, 4)
+    scores: jnp.ndarray,  # (N, K); invalid candidates carry NEG_INF
+    iou_threshold: float,
+    max_out: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """N independent greedy-NMS problems, 8 per kernel program (sublane
+    packed). Returns (idx (N, max_out) int32, valid (N, max_out) bool);
+    per-problem results identical to nms_fixed."""
+    n, k, _ = boxes.shape
+    if k > MAX_K:
+        return jax.vmap(
+            lambda b, s: nms_fixed_pallas(b, s, iou_threshold, max_out)
+        )(boxes, scores)
+    kp = ((k + LANES - 1) // LANES) * LANES
+    n8 = ((n + SUBLANES - 1) // SUBLANES) * SUBLANES
+    planes = boxes.astype(jnp.float32).transpose(2, 0, 1)  # (4, N, K)
+    planes = jnp.pad(planes, ((0, 0), (0, n8 - n), (0, kp - k)))
+    rows = jnp.pad(
+        scores.astype(jnp.float32), ((0, n8 - n), (0, kp - k)),
+        constant_values=_NEG,
+    )
+    g = n8 // SUBLANES
+    planes = planes.reshape(4, g, SUBLANES, kp).transpose(1, 0, 2, 3)
+    rows = rows.reshape(g, SUBLANES, kp)
+
+    kernel = functools.partial(
+        _nms_kernel_batched, k=kp, max_out=max_out,
+        iou_threshold=float(iou_threshold),
+    )
+    idx, valid = pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((1, 4, SUBLANES, kp), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SUBLANES, kp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, SUBLANES, max_out), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, SUBLANES, max_out), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((g, SUBLANES, max_out), jnp.int32),
+            jax.ShapeDtypeStruct((g, SUBLANES, max_out), jnp.int32),
+        ],
+        interpret=_interpret(),
+    )(planes, rows)
+    idx = idx.reshape(n8, max_out)[:n]
+    valid = valid.reshape(n8, max_out)[:n] > 0
+    return idx, valid
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def nms_fixed_pallas(
     boxes: jnp.ndarray,  # (K, 4)
@@ -100,6 +219,10 @@ def nms_fixed_pallas(
     """Greedy NMS returning (indices (max_out,), valid (max_out,) bool),
     identical to ops.nms.nms_fixed."""
     k = boxes.shape[0]
+    if k > MAX_K:
+        from .nms import nms_fixed
+
+        return nms_fixed(boxes, scores, iou_threshold, max_out)
     kp = ((k + LANES - 1) // LANES) * LANES
     planes = boxes.astype(jnp.float32).T  # (4, K)
     if kp != k:

@@ -24,19 +24,18 @@ from .box_transforms import bbox_transform, clip_boxes
 from .nms import NEG_INF, nms_fixed
 
 
-def generate_proposals(
+def proposal_candidates(
     scores: jnp.ndarray,  # (H, W, A) objectness (post-sigmoid)
     deltas: jnp.ndarray,  # (H, W, A, 4)
     anchors: jnp.ndarray,  # (H, W, A, 4)
     im_hw: jnp.ndarray,  # (2,) image extent for clipping
     pre_nms_top_n: int,
-    post_nms_top_n: int,
-    nms_thresh: float,
     min_size: float = 0.0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """One level, one image (ref: generate_proposals.py:56-183).
-
-    Returns (boxes (post_n, 4), scores (post_n,), valid (post_n,))."""
+    """Everything before the proposal NMS (ref: generate_proposals.py
+    top-k + decode + clip + small-box filter). Returns
+    (boxes (k, 4), top_scores (k,), masked_scores (k,) with NEG_INF on
+    filtered candidates)."""
     flat_scores = scores.reshape(-1)
     k = min(pre_nms_top_n, flat_scores.shape[0])
     top_scores, inds = jax.lax.top_k(flat_scores, k)
@@ -51,6 +50,25 @@ def generate_proposals(
     hs = boxes[:, 3] - boxes[:, 1] + 1.0
     keep = (ws > min_size) & (hs > min_size)
     masked = jnp.where(keep, top_scores, NEG_INF)
+    return boxes, top_scores, masked
+
+
+def generate_proposals(
+    scores: jnp.ndarray,  # (H, W, A) objectness (post-sigmoid)
+    deltas: jnp.ndarray,  # (H, W, A, 4)
+    anchors: jnp.ndarray,  # (H, W, A, 4)
+    im_hw: jnp.ndarray,  # (2,) image extent for clipping
+    pre_nms_top_n: int,
+    post_nms_top_n: int,
+    nms_thresh: float,
+    min_size: float = 0.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One level, one image (ref: generate_proposals.py:56-183).
+
+    Returns (boxes (post_n, 4), scores (post_n,), valid (post_n,))."""
+    boxes, top_scores, masked = proposal_candidates(
+        scores, deltas, anchors, im_hw, pre_nms_top_n, min_size
+    )
 
     # Pallas greedy-NMS kernel (ops/pallas_nms.py): at RPN shapes
     # (K=16384, post_n=2000) it measured 7.2 vs 55 ms/call AND compiles in

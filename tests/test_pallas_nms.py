@@ -70,3 +70,26 @@ def test_vmapped_batch_matches():
     np.testing.assert_array_equal(np.asarray(iv1[1]), np.asarray(iv2[1]))
     m = np.asarray(iv1[1])
     np.testing.assert_array_equal(np.asarray(iv1[0])[m], np.asarray(iv2[0])[m])
+
+
+def test_sublane_batched_matches_per_problem():
+    """nms_batched_pallas packs 8 problems per kernel program — every
+    problem's result must equal the single-problem nms_fixed, including
+    padded problems beyond a non-multiple-of-8 N."""
+    from sad_tpu.ops.pallas_nms import nms_batched_pallas
+
+    bs, ss = [], []
+    for s in range(11):  # N=11: crosses the 8-sublane group boundary
+        b, sc = _case(20 + s, k=200)
+        if s == 4:
+            sc = sc.at[:].set(NEG_INF)  # one all-invalid problem
+        bs.append(b)
+        ss.append(sc)
+    boxes = jnp.stack(bs)
+    scores = jnp.stack(ss)
+    i2, v2 = nms_batched_pallas(boxes, scores, 0.4, 30)
+    for s in range(11):
+        i1, v1 = nms_fixed(boxes[s], scores[s], 0.4, 30)
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2[s]))
+        m = np.asarray(v1)
+        np.testing.assert_array_equal(np.asarray(i1)[m], np.asarray(i2[s])[m])

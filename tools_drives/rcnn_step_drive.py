@@ -29,12 +29,21 @@ def main():
     from sad_tpu.train import TrainState, init_momentum_state
     from sad_tpu.train.rcnn_train import make_rcnn_train_step
 
-    cfg = load_cfg(
+    import sys
+
+    cfg_path = (
+        sys.argv[1] if len(sys.argv) > 1 else
         "/root/reference/detectron/configs/model_comp/"
-        "e2e_faster_rcnn_R-50-FPN_1x.yaml",
-        ["NUM_GPUS", "1", "TRAIN.WEIGHTS", "", "COMPUTE_DTYPE", "bfloat16",
-         "PIXEL_STD", "(57.375,57.12,58.395)"],
+        "e2e_faster_rcnn_R-50-FPN_1x.yaml"
     )
+    cfg = load_cfg(
+        cfg_path,
+        ["NUM_GPUS", "1", "TRAIN.WEIGHTS", "", "COMPUTE_DTYPE", "bfloat16",
+         "PIXEL_STD", "(57.375,57.12,58.395)"]
+        + (["MODEL.MASK_ON", "False"] if "--no-mask" in sys.argv else []),
+    )
+    print("cfg:", cfg_path.rsplit("/", 1)[-1], "MASK_ON:", cfg.MODEL.MASK_ON,
+          flush=True)
     from sad_tpu.data.minibatch import canvas_shapes
 
     (h, w), _ = canvas_shapes(cfg)
@@ -61,14 +70,20 @@ def main():
         y0 = rng.uniform(0, 450, nb)
         bw = rng.uniform(40, 160, nb)
         bh = rng.uniform(40, 120, nb)
+        boxes = np.stack([x0, y0, x0 + bw, y0 + bh], 1).astype(np.float32)
+        segms = [
+            [[float(bx[0]), float(bx[1]), float(bx[2]), float(bx[1]),
+              float(bx[2]), float(bx[3]), float(bx[0]), float(bx[3])]]
+            for bx in boxes
+        ] if cfg.MODEL.MASK_ON else [None] * nb
         entries.append({
             "id": i + 1, "image": p, "width": 980, "height": 600,
             "flipped": False,
-            "boxes": np.stack([x0, y0, x0 + bw, y0 + bh], 1).astype(np.float32),
+            "boxes": boxes,
             "gt_classes": rng.randint(
                 1, cfg.MODEL.NUM_CLASSES, nb).astype(np.int32),
             "is_crowd": np.zeros(nb, bool),
-            "segms": [None] * nb,
+            "segms": segms,
         })
     built = RCNNMinibatchBuilder(cfg).build(entries, seed=0)
     batch = jax.tree.map(
@@ -91,6 +106,11 @@ def main():
     state, metrics = step(state, batch, lr, key)
     jax.block_until_ready(metrics["loss"])
 
+    import os
+
+    prof_dir = os.environ.get("SAD_PROFILE_DIR")
+    if prof_dir:
+        jax.profiler.start_trace(prof_dir)
     iters = 20
     t0 = time.perf_counter()
     for i in range(iters):
@@ -98,10 +118,13 @@ def main():
         state, metrics = step(state, batch, lr, sub)
     jax.block_until_ready(metrics["loss"])
     dt = time.perf_counter() - t0
+    if prof_dir:
+        jax.profiler.stop_trace()
     assert np.isfinite(float(metrics["loss"]))
 
     print(json.dumps({
-        "metric": "faster_rcnn_train_imgs_per_sec_per_chip",
+        "metric": ("mask" if cfg.MODEL.MASK_ON else "faster")
+        + "_rcnn_train_imgs_per_sec_per_chip",
         "value": round(n_images * iters / dt, 2),
         "ms_per_step": round(dt / iters * 1e3, 1),
         "compile_s": round(compile_s, 1),
