@@ -232,8 +232,9 @@ class GeneralizedRCNN(nn.Module):
         from sad_tpu.data.anchors import field_of_anchors
         from sad_tpu.ops.proposals import (
             collect_and_distribute_fpn_proposals,
-            generate_proposals,
             multilevel_roi_align,
+            nms_levels_batched,
+            proposal_candidates,
         )
 
         cfg = self.cfg_static
@@ -245,45 +246,51 @@ class GeneralizedRCNN(nn.Module):
         b = images.shape[0]
         na = len(cfg.FPN.RPN_ASPECT_RATIOS)
 
-        def one_image(i):
-            lv_boxes, lv_scores, lv_valid = {}, {}, {}
-            for lvl in rpn_feats:
-                h, w = rpn_feats[lvl].shape[1:3]
-                stride = 2.0 ** lvl
-                size = cfg.FPN.RPN_ANCHOR_START_SIZE * (
-                    2 ** (lvl - cfg.FPN.RPN_MIN_LEVEL)
-                )
-                cell = np.concatenate(
-                    [
-                        # one size, all aspect ratios (rpn_heads.py FPN path)
-                        _np_cell_anchors(stride, size, ar)
-                        for ar in cfg.FPN.RPN_ASPECT_RATIOS
-                    ]
-                )
-                anchors = jnp.asarray(
-                    field_of_anchors(cell, stride, h, w), jnp.float32
-                )
-                scores = jax.nn.sigmoid(logits[lvl][i])
-                d = deltas[lvl][i].reshape(h, w, na, 4)
-                # PRE/POST_NMS_TOP_N are per FPN level in the reference
-                # (config yaml comments; collect step caps globally after)
-                bx, sc, va = generate_proposals(
-                    scores, d, anchors, im_hw[i],
+        # candidates per (level, image) under vmap; ONE sublane-packed
+        # greedy-NMS kernel call over all level x image problems
+        # (ops/proposals.nms_levels_batched). PRE/POST_NMS_TOP_N are per
+        # FPN level in the reference (collect step caps globally after).
+        prop_levels = []
+        for lvl in rpn_feats:
+            h, w = rpn_feats[lvl].shape[1:3]
+            stride = 2.0 ** lvl
+            size = cfg.FPN.RPN_ANCHOR_START_SIZE * (
+                2 ** (lvl - cfg.FPN.RPN_MIN_LEVEL)
+            )
+            cell = np.concatenate(
+                [
+                    # one size, all aspect ratios (rpn_heads.py FPN path)
+                    _np_cell_anchors(stride, size, ar)
+                    for ar in cfg.FPN.RPN_ASPECT_RATIOS
+                ]
+            )
+            anchors = jnp.asarray(
+                field_of_anchors(cell, stride, h, w), jnp.float32
+            )
+            scores = jax.nn.sigmoid(logits[lvl])
+            d = deltas[lvl].reshape(b, h, w, na, 4)
+            bx, ts, ms = jax.vmap(
+                lambda s, dd, ihw, a=anchors: proposal_candidates(
+                    s, dd, a, ihw,
                     cfg.TEST.RPN_PRE_NMS_TOP_N,
-                    cfg.TEST.RPN_POST_NMS_TOP_N,
-                    cfg.TEST.RPN_NMS_THRESH,
                     float(cfg.TEST.RPN_MIN_SIZE),
                 )
-                lv_boxes[lvl], lv_scores[lvl], lv_valid[lvl] = bx, sc, va
-            boxes, scores, valid, roi_lvls = collect_and_distribute_fpn_proposals(
-                lv_boxes, lv_scores, lv_valid,
+            )(scores, d, im_hw)
+            prop_levels.append((lvl, bx, ts, ms))
+
+        lv_b, lv_s, lv_v = nms_levels_batched(
+            prop_levels, cfg.TEST.RPN_NMS_THRESH, cfg.TEST.RPN_POST_NMS_TOP_N
+        )
+
+        def per_image(lvb, lvs, lvv):
+            return collect_and_distribute_fpn_proposals(
+                lvb, lvs, lvv,
                 cfg.TEST.RPN_POST_NMS_TOP_N,
                 cfg.FPN.ROI_MIN_LEVEL, cfg.FPN.ROI_MAX_LEVEL,
                 cfg.FPN.ROI_CANONICAL_SCALE, cfg.FPN.ROI_CANONICAL_LEVEL,
             )
-            return boxes, scores, valid, roi_lvls
 
-        boxes, scores, valid, roi_lvls = jax.vmap(one_image)(jnp.arange(b))
+        boxes, scores, valid, roi_lvls = jax.vmap(per_image)(lv_b, lv_s, lv_v)
 
         # box head over all images' rois at once
         r = boxes.shape[1]

@@ -320,7 +320,10 @@ class SingleScaleRCNN(nn.Module):
     def __call__(self, images: jnp.ndarray, im_hw: jnp.ndarray):
         from sad_tpu.data.anchors import field_of_anchors, generate_cell_anchors
         from sad_tpu.ops.detectron_ops import roi_align
-        from sad_tpu.ops.proposals import generate_proposals
+        from sad_tpu.ops.proposals import (
+            nms_levels_batched,
+            proposal_candidates,
+        )
 
         cfg = self.cfg_static
         feat = self._trunk(images)
@@ -337,16 +340,19 @@ class SingleScaleRCNN(nn.Module):
         anchors = jnp.asarray(field_of_anchors(cell, stride, h, w), jnp.float32)
         na = self._num_anchors
 
-        def one_image(i):
-            scores = jax.nn.sigmoid(logits[i])
-            d = deltas[i].reshape(h, w, na, 4)
-            return generate_proposals(
-                scores, d, anchors, im_hw[i],
-                cfg.TEST.RPN_PRE_NMS_TOP_N, cfg.TEST.RPN_POST_NMS_TOP_N,
-                cfg.TEST.RPN_NMS_THRESH, float(cfg.TEST.RPN_MIN_SIZE),
+        # candidates per image under vmap; ONE sublane-packed greedy-NMS
+        # kernel call for all images (ops/proposals.nms_levels_batched)
+        bx, ts, ms = jax.vmap(
+            lambda s, dd, ihw: proposal_candidates(
+                jax.nn.sigmoid(s), dd.reshape(h, w, na, 4), anchors, ihw,
+                cfg.TEST.RPN_PRE_NMS_TOP_N, float(cfg.TEST.RPN_MIN_SIZE),
             )
-
-        boxes, scores, valid = jax.vmap(one_image)(jnp.arange(b))
+        )(logits, deltas, im_hw)
+        lv_b, lv_s, lv_v = nms_levels_batched(
+            [(0, bx, ts, ms)],
+            cfg.TEST.RPN_NMS_THRESH, cfg.TEST.RPN_POST_NMS_TOP_N,
+        )
+        boxes, scores, valid = lv_b[0], lv_s[0], lv_v[0]
         r = boxes.shape[1]
         batch_col = jnp.repeat(jnp.arange(b, dtype=jnp.float32), r)[:, None]
         rois5 = jnp.concatenate([batch_col, boxes.reshape(-1, 4)], axis=1)

@@ -85,6 +85,51 @@ def generate_proposals(
     return boxes[idx], jnp.where(valid, top_scores[idx], 0.0), valid
 
 
+def nms_levels_batched(
+    prop_levels,  # [(level, boxes (B,k,4), top_scores (B,k), masked (B,k))]
+    nms_thresh: float,
+    post_nms_top_n: int,
+) -> Tuple[Dict[int, jnp.ndarray], Dict[int, jnp.ndarray], Dict[int, jnp.ndarray]]:
+    """Greedy NMS for every (level x image) problem in ONE sublane-packed
+    kernel call (ops/nms.nms_multi: 8 problems per kernel program — ~4x
+    cheaper than per-problem calls under vmap, identical per-problem
+    results). Per-level k may differ; shorter levels are padded with
+    NEG_INF candidates that can never be picked or suppress anything.
+
+    Returns ({lvl: boxes (B, post_n, 4)}, {lvl: scores}, {lvl: valid})."""
+    from .nms import nms_multi
+
+    b = prop_levels[0][1].shape[0]
+    kmax = max(bx.shape[1] for _, bx, _, _ in prop_levels)
+
+    def padk(x, fill):
+        pad = kmax - x.shape[1]
+        if pad == 0:
+            return x
+        widths = ((0, 0), (0, pad)) + ((0, 0),) * (x.ndim - 2)
+        return jnp.pad(x, widths, constant_values=fill)
+
+    all_boxes = jnp.concatenate([padk(bx, 0.0) for _, bx, _, _ in prop_levels])
+    all_top = jnp.concatenate([padk(ts, 0.0) for _, _, ts, _ in prop_levels])
+    all_masked = jnp.concatenate(
+        [padk(ms, float(NEG_INF)) for _, _, _, ms in prop_levels]
+    )
+    keep_idx, keep_valid = nms_multi(
+        all_boxes, all_masked, nms_thresh, post_nms_top_n
+    )
+    kept_boxes = jnp.take_along_axis(all_boxes, keep_idx[..., None], axis=1)
+    kept_scores = jnp.where(
+        keep_valid, jnp.take_along_axis(all_top, keep_idx, axis=1), 0.0
+    )
+    lv_b = {lvl: kept_boxes[j * b:(j + 1) * b]
+            for j, (lvl, *_r) in enumerate(prop_levels)}
+    lv_s = {lvl: kept_scores[j * b:(j + 1) * b]
+            for j, (lvl, *_r) in enumerate(prop_levels)}
+    lv_v = {lvl: keep_valid[j * b:(j + 1) * b]
+            for j, (lvl, *_r) in enumerate(prop_levels)}
+    return lv_b, lv_s, lv_v
+
+
 def map_rois_to_fpn_levels(
     boxes: jnp.ndarray,  # (R, 4)
     k_min: int,

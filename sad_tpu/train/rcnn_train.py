@@ -218,9 +218,10 @@ def make_rcnn_train_step(
             # sublane-packed Pallas call (ops/nms.nms_multi: 8 problems per
             # kernel program) — identical per-problem results, ~8x cheaper
             # than NMS inside the per-image vmap.
-            from sad_tpu.ops.nms import NEG_INF as _NI
-            from sad_tpu.ops.nms import nms_multi
-            from sad_tpu.ops.proposals import proposal_candidates
+            from sad_tpu.ops.proposals import (
+                nms_levels_batched,
+                proposal_candidates,
+            )
 
             def _candidates_all_images(logits_lvl, deltas_lvl, cell, stride):
                 h, w = logits_lvl.shape[1:3]
@@ -275,33 +276,9 @@ def make_rcnn_train_step(
                         )
                     )
 
-            kmax = max(bx.shape[1] for _, bx, _, _ in prop_levels)
-
-            def _padk(x, fill):
-                pad = kmax - x.shape[1]
-                if pad == 0:
-                    return x
-                widths = ((0, 0), (0, pad)) + ((0, 0),) * (x.ndim - 2)
-                return jnp.pad(x, widths, constant_values=fill)
-
-            all_boxes = jnp.concatenate(
-                [_padk(bx, 0.0) for _, bx, _, _ in prop_levels]
-            )  # (L*B, kmax, 4)
-            all_top = jnp.concatenate(
-                [_padk(ts, 0.0) for _, _, ts, _ in prop_levels]
-            )
-            all_masked = jnp.concatenate(
-                [_padk(ms, float(_NI)) for _, _, _, ms in prop_levels]
-            )
-            keep_idx, keep_valid = nms_multi(
-                all_boxes, all_masked,
+            lv_b, lv_s, lv_v = nms_levels_batched(
+                prop_levels,
                 cfg.TRAIN.RPN_NMS_THRESH, cfg.TRAIN.RPN_POST_NMS_TOP_N,
-            )
-            kept_boxes = jnp.take_along_axis(
-                all_boxes, keep_idx[..., None], axis=1
-            )
-            kept_scores = jnp.where(
-                keep_valid, jnp.take_along_axis(all_top, keep_idx, axis=1), 0.0
             )
 
             rngs = jax.random.split(rng, b)
@@ -309,23 +286,10 @@ def make_rcnn_train_step(
                 sampled = jax.vmap(
                     lambda bx, va, gb, gc, ri: _sample(ri, bx, va, gb, gc)
                 )(
-                    kept_boxes, keep_valid,
+                    lv_b[ss_level], lv_v[ss_level],
                     batch["gt_boxes"], batch["gt_classes"], rngs,
                 )
             else:
-                lv_b = {
-                    lvl: kept_boxes[j * b:(j + 1) * b]
-                    for j, (lvl, *_rest) in enumerate(prop_levels)
-                }
-                lv_s = {
-                    lvl: kept_scores[j * b:(j + 1) * b]
-                    for j, (lvl, *_rest) in enumerate(prop_levels)
-                }
-                lv_v = {
-                    lvl: keep_valid[j * b:(j + 1) * b]
-                    for j, (lvl, *_rest) in enumerate(prop_levels)
-                }
-
                 def per_image(lvb, lvs, lvv, gb, gc, ri):
                     boxes, _scores, valid, _ = (
                         collect_and_distribute_fpn_proposals(
