@@ -93,3 +93,73 @@ def test_sublane_batched_matches_per_problem():
         np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2[s]))
         m = np.asarray(v1)
         np.testing.assert_array_equal(np.asarray(i1)[m], np.asarray(i2[s])[m])
+
+
+def test_nms_levels_batched_matches_per_image_generate_proposals():
+    """The batched proposal path (proposal_candidates under vmap + one
+    nms_levels_batched call) must reproduce the per-(level, image)
+    generate_proposals results exactly, including levels with different
+    candidate counts (padding semantics)."""
+    from sad_tpu.ops.proposals import (
+        generate_proposals,
+        nms_levels_batched,
+        proposal_candidates,
+    )
+
+    rng = np.random.RandomState(7)
+    b = 3
+    post_n, thr, pre_n = 40, 0.6, 120
+    im_hw = jnp.asarray(
+        rng.uniform(200, 400, (b, 2)).astype(np.float32)
+    )
+    levels = {}
+    for lvl, (h, w) in {3: (16, 24), 4: (8, 12)}.items():
+        a = 3
+        anchors = jnp.asarray(
+            np.stack(
+                [
+                    rng.uniform(0, 300, (h, w, a)),
+                    rng.uniform(0, 300, (h, w, a)),
+                    rng.uniform(40, 120, (h, w, a)),
+                    rng.uniform(40, 120, (h, w, a)),
+                ],
+                axis=-1,
+            ).astype(np.float32)
+        )
+        anchors = anchors.at[..., 2:].set(
+            anchors[..., :2] + anchors[..., 2:]
+        )
+        scores = jnp.asarray(
+            rng.uniform(0, 1, (b, h, w, a)).astype(np.float32)
+        )
+        deltas = jnp.asarray(
+            rng.uniform(-0.3, 0.3, (b, h, w, a, 4)).astype(np.float32)
+        )
+        levels[lvl] = (scores, deltas, anchors)
+
+    prop_levels = []
+    for lvl, (scores, deltas, anchors) in levels.items():
+        bx, ts, ms = jax.vmap(
+            lambda s, d, ihw, a=anchors: proposal_candidates(
+                s, d, a, ihw, pre_n, 8.0
+            )
+        )(scores, deltas, im_hw)
+        prop_levels.append((lvl, bx, ts, ms))
+    lv_b, lv_s, lv_v = nms_levels_batched(prop_levels, thr, post_n)
+
+    for lvl, (scores, deltas, anchors) in levels.items():
+        for i in range(b):
+            ref_b, ref_s, ref_v = generate_proposals(
+                scores[i], deltas[i], anchors, im_hw[i],
+                pre_n, post_n, thr, 8.0,
+            )
+            np.testing.assert_array_equal(
+                np.asarray(ref_v), np.asarray(lv_v[lvl][i])
+            )
+            m = np.asarray(ref_v)
+            np.testing.assert_allclose(
+                np.asarray(ref_b)[m], np.asarray(lv_b[lvl][i])[m], rtol=1e-6
+            )
+            np.testing.assert_allclose(
+                np.asarray(ref_s)[m], np.asarray(lv_s[lvl][i])[m], rtol=1e-6
+            )
