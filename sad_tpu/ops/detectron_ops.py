@@ -47,7 +47,7 @@ def roi_align(
     spatial_scale: float,
     resolution: int,
     sampling_ratio: int = 2,
-    roi_chunk: int = 256,
+    roi_chunk: int = 64,
 ) -> jnp.ndarray:
     """RoIAlign, exact Detectron semantics (roi_align_op.cu:89-160): no
     rounding of roi coords, malformed rois forced to 1x1, average of an
