@@ -104,8 +104,22 @@ def main():
     state, metrics = step(state, tp, batch, lr)
     jax.block_until_ready(metrics["loss"])
     assert np.isfinite(float(metrics["loss"])), "bench step produced NaN"
-    state, metrics = step(state, tp, batch, lr)
-    jax.block_until_ready(metrics["loss"])
+
+    # A freshly-compiled executable's first ~10-20 calls are much slower on
+    # the axon tunnel (server-side executable/constant upload — measured
+    # windows of [1153.9, 51.4, 51.5] ms for the same R-CNN step,
+    # tools_drives/rcnn_step_variance_drive.py). Warm up in 5-iter windows
+    # until two consecutive windows agree within 3%, then measure.
+    prev = None
+    for _ in range(8):
+        t0 = time.perf_counter()
+        for _ in range(5):
+            state, metrics = step(state, tp, batch, lr)
+        jax.block_until_ready(metrics["loss"])
+        cur = (time.perf_counter() - t0) / 5
+        if prev is not None and abs(cur - prev) / cur < 0.03:
+            break
+        prev = cur
 
     iters = 10
     t0 = time.perf_counter()

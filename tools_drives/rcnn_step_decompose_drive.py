@@ -25,11 +25,18 @@ def main():
     from sad_tpu.train import TrainState, init_momentum_state
     from sad_tpu.train.rcnn_train import make_rcnn_train_step
 
-    cfg = load_cfg(
+    import sys
+
+    cfg_path = (
+        sys.argv[1] if len(sys.argv) > 1 else
         "/root/reference/detectron/configs/model_comp/"
-        "e2e_faster_rcnn_R-50-FPN_1x.yaml",
+        "e2e_faster_rcnn_R-50-FPN_1x.yaml"
+    )
+    cfg = load_cfg(
+        cfg_path,
         ["NUM_GPUS", "1", "TRAIN.WEIGHTS", "", "COMPUTE_DTYPE", "bfloat16",
-         "PIXEL_STD", "(57.375,57.12,58.395)"],
+         "PIXEL_STD", "(57.375,57.12,58.395)"]
+        + (["MODEL.MASK_ON", "False"] if "--no-mask" in sys.argv else []),
     )
     from sad_tpu.data.minibatch import canvas_shapes
 
@@ -56,14 +63,20 @@ def main():
         y0 = rng.uniform(0, 450, nb)
         bw = rng.uniform(40, 160, nb)
         bh = rng.uniform(40, 120, nb)
+        boxes = np.stack([x0, y0, x0 + bw, y0 + bh], 1).astype(np.float32)
+        segms = [
+            [[float(bx[0]), float(bx[1]), float(bx[2]), float(bx[1]),
+              float(bx[2]), float(bx[3]), float(bx[0]), float(bx[3])]]
+            for bx in boxes
+        ] if cfg.MODEL.MASK_ON else [None] * nb
         entries.append({
             "id": i + 1, "image": p, "width": 980, "height": 600,
             "flipped": False,
-            "boxes": np.stack([x0, y0, x0 + bw, y0 + bh], 1).astype(np.float32),
+            "boxes": boxes,
             "gt_classes": rng.randint(
                 1, cfg.MODEL.NUM_CLASSES, nb).astype(np.int32),
             "is_crowd": np.zeros(nb, bool),
-            "segms": [None] * nb,
+            "segms": segms,
         })
     built = RCNNMinibatchBuilder(cfg).build(entries, seed=0)
     batch = jax.tree.map(

@@ -47,7 +47,7 @@ def main():
     from sad_tpu.data.minibatch import canvas_shapes
 
     (h, w), _ = canvas_shapes(cfg)
-    n_images = cfg.TRAIN.IMS_PER_BATCH  # 2
+    n_images = cfg.TRAIN.IMS_PER_BATCH  # 4 in the model_comp yaml
     model = create_model(cfg)
     params = init_model_params(model, jax.random.PRNGKey(0), (1, h, w, 3))
 
@@ -103,8 +103,21 @@ def main():
     jax.block_until_ready(metrics["loss"])
     compile_s = time.perf_counter() - t0
     assert np.isfinite(float(metrics["loss"])), "NaN in warmup"
-    state, metrics = step(state, batch, lr, key)
-    jax.block_until_ready(metrics["loss"])
+
+    # warm past the fresh-executable slow phase (server-side upload over the
+    # axon tunnel; see tools_drives/rcnn_step_variance_drive.py): 5-iter
+    # windows until two consecutive windows agree within 3%
+    prev = None
+    for _ in range(8):
+        t0 = time.perf_counter()
+        for _ in range(5):
+            key, sub = jax.random.split(key)
+            state, metrics = step(state, batch, lr, sub)
+        jax.block_until_ready(metrics["loss"])
+        cur = (time.perf_counter() - t0) / 5
+        if prev is not None and abs(cur - prev) / cur < 0.03:
+            break
+        prev = cur
 
     import os
 
