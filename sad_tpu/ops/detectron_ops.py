@@ -73,7 +73,16 @@ def roi_align(
     # scatter-add (the gather/scatter lowering measured ~100x off the
     # traffic floor on TPU: 61 ms fwd / 232 ms fwd+bwd for 1024 rois at
     # FPN scale vs ~1 ms of matmul work; BENCH_NOTES.md round-2 tail).
-    fmat = features.reshape(b * h, w * c)
+    # The chunked two-matmul form is bound by HBM traffic of the (rc*res,
+    # keep_dim*c) intermediate, so (a) contract the LARGER spatial axis
+    # first (the intermediate keeps the smaller one), and (b) store the
+    # intermediate in the feature dtype (bf16 halves the traffic; the f32
+    # path is unchanged). Both matmuls accumulate in f32 either way.
+    x_first = w > h
+    if x_first:
+        fmat = features.transpose(0, 2, 1, 3).reshape(b * w, h * c)
+    else:
+        fmat = features.reshape(b * h, w * c)
 
     def axis_weights(lo, bin_sz, n):
         """Summed tent weights per output bin: (Rc, res, n), exact
@@ -105,25 +114,31 @@ def roi_align(
 
         wy = axis_weights(y1, bin_h, h)  # (Rc, res, h)
         wx = axis_weights(x1, bin_w, w)  # (Rc, res, w)
-        # fold each roi's batch selection into the row weights
+        # fold each roi's batch selection into the first contraction's
+        # row weights
         onb = (
             batch_idx[:, None] == jnp.arange(b, dtype=jnp.int32)[None, :]
         ).astype(jnp.float32)
-        wyb = (onb[:, None, :, None] * wy[:, :, None, :]).reshape(
-            rc * res, b * h
+        w1, n1 = (wx, w) if x_first else (wy, h)
+        w2 = wy if x_first else wx
+        w1b = (onb[:, None, :, None] * w1[:, :, None, :]).reshape(
+            rc * res, b * n1
         )
+        keep = h if x_first else w
         out1 = jax.lax.dot_general(
-            wyb, fmat, (((1,), (0,)), ((), ())),
+            w1b, fmat, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).reshape(rc, res, w, c)
-        # operand order keeps C the minor (lane) dim of the result — the
-        # remaining (res_x, res_y) swap is a cheap sublane shuffle, not a
+        ).reshape(rc, res, keep, c).astype(features.dtype)
+        # operand order keeps C the minor (lane) dim of the result — any
+        # remaining (res, res) swap is a cheap sublane shuffle, not a
         # lane-dim relayout
         out2 = jax.lax.dot_general(
-            wx, out1, (((2,), (2,)), ((0,), (0,))),
+            w2, out1, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )  # (Rc, res_x, res_y, c)
-        return out2.transpose(0, 2, 1, 3).astype(features.dtype)
+        )  # x_first: (Rc, res_y, res_x, c); else (Rc, res_x, res_y, c)
+        if not x_first:
+            out2 = out2.transpose(0, 2, 1, 3)
+        return out2.astype(features.dtype)
 
     r = rois.shape[0]
     if r <= roi_chunk:

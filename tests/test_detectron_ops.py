@@ -98,10 +98,12 @@ def np_roi_pool(features_nhwc, rois, scale, res):
 
 
 class TestRoIAlign:
-    @pytest.mark.parametrize("seed", [0, 1])
-    def test_matches_cuda_transcription(self, seed):
+    @pytest.mark.parametrize(
+        "seed,hw", [(0, (12, 16)), (1, (12, 16)), (0, (16, 12))]
+    )  # wide hits the x-first contraction order, tall the y-first
+    def test_matches_cuda_transcription(self, seed, hw):
         rng = np.random.RandomState(seed)
-        feats = rng.randn(2, 12, 16, 3).astype(np.float32)
+        feats = rng.randn(2, hw[0], hw[1], 3).astype(np.float32)
         rois = np.array(
             [
                 [0, 4.0, 4.0, 40.0, 36.0],
