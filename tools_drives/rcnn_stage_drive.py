@@ -48,10 +48,12 @@ def main():
         else "/root/reference/detectron/configs/12_2017_baselines/"
         "e2e_mask_rcnn_R-50-FPN_1x.yaml"
     )
+    with_mask = "--mask" in sys.argv
     cfg = load_cfg(
         cfg_path,
         ["NUM_GPUS", "1", "TRAIN.WEIGHTS", "", "COMPUTE_DTYPE", "bfloat16",
-         "PIXEL_STD", "(57.375,57.12,58.395)", "MODEL.MASK_ON", "False"],
+         "PIXEL_STD", "(57.375,57.12,58.395)"]
+        + ([] if with_mask else ["MODEL.MASK_ON", "False"]),
     )
     from sad_tpu.data.minibatch import canvas_shapes
 
@@ -78,14 +80,20 @@ def main():
         y0 = rng.uniform(0, 450, nb)
         bw = rng.uniform(40, 160, nb)
         bh = rng.uniform(40, 120, nb)
+        boxes = np.stack([x0, y0, x0 + bw, y0 + bh], 1).astype(np.float32)
+        segms = [
+            [[float(bx[0]), float(bx[1]), float(bx[2]), float(bx[1]),
+              float(bx[2]), float(bx[3]), float(bx[0]), float(bx[3])]]
+            for bx in boxes
+        ] if cfg.MODEL.MASK_ON else [None] * nb
         entries.append({
             "id": i + 1, "image": p, "width": 980, "height": 600,
             "flipped": False,
-            "boxes": np.stack([x0, y0, x0 + bw, y0 + bh], 1).astype(np.float32),
+            "boxes": boxes,
             "gt_classes": rng.randint(
                 1, cfg.MODEL.NUM_CLASSES, nb).astype(np.int32),
             "is_crowd": np.zeros(nb, bool),
-            "segms": [None] * nb,
+            "segms": segms,
         })
     built = RCNNMinibatchBuilder(cfg).build(entries, seed=0)
     batch = jax.tree.map(
@@ -197,17 +205,53 @@ def main():
             sampled["bbox_outside_weights"].reshape(cls_score.shape[0], -1),
             sampled["valid"].reshape(-1), 1, n_images=b,
         )
-        return total + box_total
+        total = total + box_total
+        if stop == 6 or not cfg.MODEL.MASK_ON:
+            return total
+
+        # ---- mask sub-stages (mirror rcnn_train.py mask branch)
+        from sad_tpu.train.mask_keypoint import (
+            mask_loss, mask_targets_on_device,
+        )
+
+        mfeats = multilevel_roi_align(
+            roi_feat_maps, flat_rois, lvls, sampled["is_fg"].reshape(-1),
+            cfg.MRCNN.ROI_XFORM_RESOLUTION, cfg.MRCNN.ROI_XFORM_SAMPLING_RATIO,
+        )
+        if stop == 7:
+            return total + jnp.sum(mfeats) * 0.0
+        mlogits = model.apply(
+            {"params": params}, mfeats, method=lambda m, f: m.mask_head(f)
+        )
+        if stop == 8:
+            return total + jnp.sum(mlogits) * 0.0
+
+        def mask_tgt(i):
+            return mask_targets_on_device(
+                batch["gt_mask_rasters"][i], sampled["rois"][i],
+                sampled["matched_gt"][i], cfg.MRCNN.RESOLUTION,
+                batch["gt_mask_stride"],
+            )
+
+        mtargets = jax.vmap(mask_tgt)(jnp.arange(b)).reshape(
+            (-1,) + (cfg.MRCNN.RESOLUTION,) * 2
+        )
+        ml = mask_loss(
+            cfg, mlogits, mtargets, sampled["labels"].reshape(-1),
+            sampled["is_fg"].reshape(-1), 1,
+        )
+        return total + ml
 
     key = jax.random.PRNGKey(3)
     results = {}
-    stages = [1, 2, 3, 4, 5, 6]
+    stages = [1, 2, 3, 4, 5, 6] + ([7, 8, 9] if with_mask else [])
+    last = 9 if with_mask else 6
     fns = {
         s: jax.jit(lambda p, d, k, s=s: loss_prefix(p, d, k, s))
         for s in stages
     }
     fns["grad"] = jax.jit(
-        lambda p, d, k: jax.grad(lambda pp: loss_prefix(pp, d, k, 6))(p)
+        lambda p, d, k: jax.grad(lambda pp: loss_prefix(pp, d, k, last))(p)
     )
 
     for name, fn in fns.items():
@@ -234,7 +278,9 @@ def main():
     from sad_tpu.train.optimizer import MomentumSGDState, momentum_sgd_update
 
     def sgd_step(state, data, k):
-        grads = jax.grad(lambda pp: loss_prefix(pp, data, k, 6))(state.params)
+        grads = jax.grad(
+            lambda pp: loss_prefix(pp, data, k, last)
+        )(state.params)
         t_mask = trainable_mask(
             state.params, cfg.TRAIN.FREEZE_AT, cfg.TRAIN.FREEZE_CONV_BODY
         )
