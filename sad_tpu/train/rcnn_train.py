@@ -346,17 +346,39 @@ def make_rcnn_train_step(
                 metrics.update(box_metrics)
                 if ss_mask_on:
                     # C4 mask heads (v0upshare shares the box res5; v0up
-                    # recomputes its own res5 on the mask RoIs)
+                    # recomputes its own res5 on the mask RoIs). As in the
+                    # FPN path, only the leading fg_cap slots per image can
+                    # be fg, so the mask head runs on that slice (reference
+                    # semantics: mask targets are fg-only).
                     from .mask_keypoint import mask_loss, mask_targets_on_device
 
+                    fg_cap = int(round(
+                        cfg.TRAIN.FG_FRACTION * cfg.TRAIN.BATCH_SIZE_PER_IM
+                    ))
+                    fg_is_fg = sampled["is_fg"][:, :fg_cap].reshape(-1)
+                    fg_labels = sampled["labels"][:, :fg_cap].reshape(-1)
                     if ss_share:
+                        rr = res5_sp.shape[0] // b
+                        res5_fg = res5_sp.reshape(
+                            (b, rr) + res5_sp.shape[1:]
+                        )[:, :fg_cap].reshape(
+                            (b * fg_cap,) + res5_sp.shape[1:]
+                        )
                         mlogits = model.apply(
-                            {"params": params}, res5_sp,
+                            {"params": params}, res5_fg,
                             method="mask_from_res5",
                         )
                     else:
+                        fg_col = jnp.repeat(
+                            jnp.arange(b, dtype=jnp.float32), fg_cap
+                        )[:, None]
+                        flat_fg_rois = jnp.concatenate(
+                            [fg_col,
+                             sampled["rois"][:, :fg_cap].reshape(-1, 4)],
+                            axis=1,
+                        )
                         mlogits = model.apply(
-                            {"params": params}, feat, flat_rois,
+                            {"params": params}, feat, flat_fg_rois,
                             method="mask_heads",
                         )
                     m_res = mlogits.shape[1]
@@ -364,8 +386,8 @@ def make_rcnn_train_step(
                     def ss_mask_tgt(i):
                         return mask_targets_on_device(
                             batch["gt_mask_rasters"][i],
-                            sampled["rois"][i],
-                            sampled["matched_gt"][i],
+                            sampled["rois"][i, :fg_cap],
+                            sampled["matched_gt"][i, :fg_cap],
                             m_res,
                             batch["gt_mask_stride"],
                         )
@@ -374,9 +396,7 @@ def make_rcnn_train_step(
                         (-1, m_res, m_res)
                     )
                     ml = mask_loss(
-                        cfg, mlogits, mtargets,
-                        sampled["labels"].reshape(-1),
-                        sampled["is_fg"].reshape(-1), G,
+                        cfg, mlogits, mtargets, fg_labels, fg_is_fg, G,
                     )
                     total = total + ml
                     metrics["loss_mask"] = ml
@@ -401,15 +421,45 @@ def make_rcnn_train_step(
                 {"params": params}, roi_feats,
                 method=lambda m, f: m.box_head(f),
             )
-            # ---- mask / keypoint heads on the fg-sampled rois
+            # ---- mask / keypoint heads on the fg-sampled rois.
+            # sample_proposal_labels sorts kept-fg rois into the leading
+            # slots (priority 2+u > bg 1+u > demoted fg 0.5), so the first
+            # fg_cap slots per image provably contain every fg roi; the
+            # aux heads run only on that slice — the reference computes
+            # mask/keypoint targets for fg rois only (roi_data/
+            # mask_rcnn.py:38-52) — which cuts the aux RoIAlign + head
+            # work 1/FG_FRACTION-fold at identical loss values (non-fg
+            # slots carry zero weight in both losses).
             aux_total = jnp.float32(0.0)
             aux_metrics = {}
+            fg_cap = int(
+                round(cfg.TRAIN.FG_FRACTION * cfg.TRAIN.BATCH_SIZE_PER_IM)
+            )
+            need_aux = (
+                (cfg.MODEL.MASK_ON and "gt_mask_rasters" in batch)
+                or (cfg.MODEL.KEYPOINTS_ON and "gt_keypoints" in batch)
+            )
+            if need_aux:
+                fg_rois = sampled["rois"][:, :fg_cap]
+                fg_is_fg = sampled["is_fg"][:, :fg_cap].reshape(-1)
+                fg_labels = sampled["labels"][:, :fg_cap].reshape(-1)
+                fg_col = jnp.repeat(
+                    jnp.arange(b, dtype=jnp.float32), fg_cap
+                )[:, None]
+                flat_fg_rois = jnp.concatenate(
+                    [fg_col, fg_rois.reshape(-1, 4)], axis=1
+                )
+                fg_lvls = map_rois_to_fpn_levels(
+                    flat_fg_rois[:, 1:],
+                    cfg.FPN.ROI_MIN_LEVEL, cfg.FPN.ROI_MAX_LEVEL,
+                    cfg.FPN.ROI_CANONICAL_SCALE, cfg.FPN.ROI_CANONICAL_LEVEL,
+                )
             if cfg.MODEL.MASK_ON and "gt_mask_rasters" in batch:
                 from .mask_keypoint import mask_loss, mask_targets_on_device
 
                 mfeats = multilevel_roi_align(
                     roi_feat_maps,
-                    flat_rois, lvls, sampled["is_fg"].reshape(-1),
+                    flat_fg_rois, fg_lvls, fg_is_fg,
                     cfg.MRCNN.ROI_XFORM_RESOLUTION,
                     cfg.MRCNN.ROI_XFORM_SAMPLING_RATIO,
                 )
@@ -420,8 +470,8 @@ def make_rcnn_train_step(
                 def mask_tgt(i):
                     return mask_targets_on_device(
                         batch["gt_mask_rasters"][i],
-                        sampled["rois"][i],
-                        sampled["matched_gt"][i],
+                        sampled["rois"][i, :fg_cap],
+                        sampled["matched_gt"][i, :fg_cap],
                         cfg.MRCNN.RESOLUTION,
                         batch["gt_mask_stride"],
                     )
@@ -431,9 +481,7 @@ def make_rcnn_train_step(
                 # logits are at 2x the RoI xform res (deconv); targets match
                 # MRCNN.RESOLUTION by construction
                 ml = mask_loss(
-                    cfg, mlogits, mtargets,
-                    sampled["labels"].reshape(-1),
-                    sampled["is_fg"].reshape(-1), G,
+                    cfg, mlogits, mtargets, fg_labels, fg_is_fg, G,
                 )
                 aux_total = aux_total + ml
                 aux_metrics["loss_mask"] = ml
@@ -442,7 +490,7 @@ def make_rcnn_train_step(
 
                 kfeats = multilevel_roi_align(
                     roi_feat_maps,
-                    flat_rois, lvls, sampled["is_fg"].reshape(-1),
+                    flat_fg_rois, fg_lvls, fg_is_fg,
                     cfg.KRCNN.ROI_XFORM_RESOLUTION,
                     cfg.KRCNN.ROI_XFORM_SAMPLING_RATIO,
                 )
@@ -454,8 +502,8 @@ def make_rcnn_train_step(
                 def kp_tgt(i):
                     return keypoint_targets_on_device(
                         batch["gt_keypoints"][i],
-                        sampled["rois"][i],
-                        sampled["matched_gt"][i],
+                        sampled["rois"][i, :fg_cap],
+                        sampled["matched_gt"][i, :fg_cap],
                         s_hm,
                     )
                 hl, hv = jax.vmap(kp_tgt)(jnp.arange(b))
@@ -463,7 +511,7 @@ def make_rcnn_train_step(
                     cfg, klogits,
                     hl.reshape(-1, hl.shape[-1]),
                     hv.reshape(-1, hv.shape[-1]),
-                    sampled["is_fg"].reshape(-1), G,
+                    fg_is_fg, G,
                 )
                 aux_total = aux_total + kl
                 aux_metrics["loss_kps"] = kl

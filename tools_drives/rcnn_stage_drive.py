@@ -209,13 +209,28 @@ def main():
         if stop == 6 or not cfg.MODEL.MASK_ON:
             return total
 
-        # ---- mask sub-stages (mirror rcnn_train.py mask branch)
+        # ---- mask sub-stages (mirror rcnn_train.py mask branch: aux heads
+        # run on the leading fg_cap slots only)
         from sad_tpu.train.mask_keypoint import (
             mask_loss, mask_targets_on_device,
         )
 
+        fg_cap = int(
+            round(cfg.TRAIN.FG_FRACTION * cfg.TRAIN.BATCH_SIZE_PER_IM)
+        )
+        fg_rois = sampled["rois"][:, :fg_cap]
+        fg_is_fg = sampled["is_fg"][:, :fg_cap].reshape(-1)
+        fg_labels = sampled["labels"][:, :fg_cap].reshape(-1)
+        fg_col = jnp.repeat(jnp.arange(b, dtype=jnp.float32), fg_cap)[:, None]
+        flat_fg_rois = jnp.concatenate(
+            [fg_col, fg_rois.reshape(-1, 4)], axis=1
+        )
+        fg_lvls = map_rois_to_fpn_levels(
+            flat_fg_rois[:, 1:], cfg.FPN.ROI_MIN_LEVEL, cfg.FPN.ROI_MAX_LEVEL,
+            cfg.FPN.ROI_CANONICAL_SCALE, cfg.FPN.ROI_CANONICAL_LEVEL,
+        )
         mfeats = multilevel_roi_align(
-            roi_feat_maps, flat_rois, lvls, sampled["is_fg"].reshape(-1),
+            roi_feat_maps, flat_fg_rois, fg_lvls, fg_is_fg,
             cfg.MRCNN.ROI_XFORM_RESOLUTION, cfg.MRCNN.ROI_XFORM_SAMPLING_RATIO,
         )
         if stop == 7:
@@ -228,18 +243,15 @@ def main():
 
         def mask_tgt(i):
             return mask_targets_on_device(
-                batch["gt_mask_rasters"][i], sampled["rois"][i],
-                sampled["matched_gt"][i], cfg.MRCNN.RESOLUTION,
+                batch["gt_mask_rasters"][i], sampled["rois"][i, :fg_cap],
+                sampled["matched_gt"][i, :fg_cap], cfg.MRCNN.RESOLUTION,
                 batch["gt_mask_stride"],
             )
 
         mtargets = jax.vmap(mask_tgt)(jnp.arange(b)).reshape(
             (-1,) + (cfg.MRCNN.RESOLUTION,) * 2
         )
-        ml = mask_loss(
-            cfg, mlogits, mtargets, sampled["labels"].reshape(-1),
-            sampled["is_fg"].reshape(-1), 1,
-        )
+        ml = mask_loss(cfg, mlogits, mtargets, fg_labels, fg_is_fg, 1)
         return total + ml
 
     key = jax.random.PRNGKey(3)
