@@ -168,6 +168,42 @@ class TestSampleProposalLabels:
         assert (w[isfg].sum(axis=1) == 4).all()
         assert (w[~isfg] == 0).all()
 
+    def test_fg_slots_are_a_prefix(self):
+        """The mask/keypoint branches slice the leading fg_cap slots
+        (train/rcnn_train.py); that is only sound while every fg slot
+        sorts ahead of every non-fg slot. Pin the invariant over random
+        problems."""
+        for seed in range(6):
+            rng = jax.random.PRNGKey(seed)
+            nprng = np.random.RandomState(seed)
+            g = 4
+            gt = np.zeros((g, 4), np.float32)
+            gt[:, :2] = nprng.uniform(0, 150, (g, 2))
+            gt[:, 2:] = gt[:, :2] + nprng.uniform(20, 60, (g, 2))
+            gt_cls = nprng.randint(1, 5, g).astype(np.int32)
+            gt_cls[-1] = 0  # one pad slot
+            p = 64
+            props = np.zeros((p, 4), np.float32)
+            props[:, :2] = nprng.uniform(0, 180, (p, 2))
+            props[:, 2:] = props[:, :2] + nprng.uniform(5, 80, (p, 2))
+            # overlap some proposals with gt to get real fg
+            props[:g] = gt + nprng.uniform(-3, 3, (g, 4)).astype(np.float32)
+            valid = nprng.uniform(size=p) < 0.9
+            bs, fg_frac = 32, 0.25
+            out = sample_proposal_labels(
+                rng, jnp.asarray(props), jnp.asarray(valid),
+                jnp.asarray(gt), jnp.asarray(gt_cls),
+                batch_size_per_im=bs, fg_fraction=fg_frac,
+                fg_thresh=0.5, bg_thresh_hi=0.5, bg_thresh_lo=0.0,
+                num_classes=5,
+            )
+            isfg = np.asarray(out["is_fg"])
+            n_fg = int(isfg.sum())
+            fg_cap = int(round(fg_frac * bs))
+            assert n_fg <= fg_cap
+            # every fg slot lives in the leading n_fg (hence fg_cap) slots
+            assert isfg[:n_fg].all() and not isfg[n_fg:].any()
+
 
 class TestGeneralizedRCNN:
     def test_forward_shapes(self):
