@@ -76,7 +76,7 @@ def main():
               float(bx[2]), float(bx[3]), float(bx[0]), float(bx[3])]]
             for bx in boxes
         ] if cfg.MODEL.MASK_ON else [None] * nb
-        entries.append({
+        entry = {
             "id": i + 1, "image": p, "width": 980, "height": 600,
             "flipped": False,
             "boxes": boxes,
@@ -84,7 +84,15 @@ def main():
                 1, cfg.MODEL.NUM_CLASSES, nb).astype(np.int32),
             "is_crowd": np.zeros(nb, bool),
             "segms": segms,
-        })
+        }
+        if cfg.MODEL.KEYPOINTS_ON:
+            nk = cfg.KRCNN.NUM_KEYPOINTS
+            kp = np.zeros((nb, nk, 3), np.float32)
+            kp[..., 0] = rng.uniform(boxes[:, 0:1], boxes[:, 2:3], (nb, nk))
+            kp[..., 1] = rng.uniform(boxes[:, 1:2], boxes[:, 3:4], (nb, nk))
+            kp[..., 2] = 2.0  # visible
+            entry["gt_keypoints"] = kp
+        entries.append(entry)
     built = RCNNMinibatchBuilder(cfg).build(entries, seed=0)
     batch = jax.tree.map(
         jnp.asarray, built.as_pytree() if hasattr(built, "as_pytree") else built
@@ -136,15 +144,20 @@ def main():
     assert np.isfinite(float(metrics["loss"]))
 
     print(json.dumps({
-        "metric": ("mask" if cfg.MODEL.MASK_ON else "faster")
-        + "_rcnn_train_imgs_per_sec_per_chip",
+        "metric": (
+            "keypoint" if cfg.MODEL.KEYPOINTS_ON
+            else "mask" if cfg.MODEL.MASK_ON else "faster"
+        ) + "_rcnn_train_imgs_per_sec_per_chip",
         "value": round(n_images * iters / dt, 2),
         "ms_per_step": round(dt / iters * 1e3, 1),
         "compile_s": round(compile_s, 1),
         # reference 8xP100 per-GPU rates (MODEL_ZOO.md): e2e FRCNN
-        # R-50-FPN 0.544 s/iter -> 3.68; e2e Mask R-50-FPN 0.889 -> 2.25
+        # R-50-FPN 0.544 s/iter -> 3.68; e2e Mask R-50-FPN 0.889 -> 2.25;
+        # e2e keypoint R-50-FPN 1x 0.832 s/iter -> 2.40 imgs/s/GPU
         "vs_baseline": round(
-            n_images * iters / dt / (2.25 if cfg.MODEL.MASK_ON else 3.68), 2
+            n_images * iters / dt
+            / (2.40 if cfg.MODEL.KEYPOINTS_ON
+               else 2.25 if cfg.MODEL.MASK_ON else 3.68), 2
         ),
     }))
 
