@@ -21,6 +21,8 @@ import numpy as np
 
 
 def main():
+    import sys
+
     import jax
     import jax.numpy as jnp
 
@@ -29,6 +31,9 @@ def main():
     from sad_tpu.models.model_builder import init_model_params
     from sad_tpu.train import TrainState, init_momentum_state, make_train_step
 
+    # extra KEY VALUE override pairs apply to BOTH configs (experiment
+    # sweeps, e.g. `python bench.py S2D_STEM True`); default run unchanged
+    extra = sys.argv[1:]
     student_cfg = load_cfg(
         "/root/reference/detectron/configs/focal_distillation/"
         "retinanet_R-50-FPN_distillation.yaml",
@@ -36,13 +41,13 @@ def main():
          # random-init + std~60 mean-only-normalized inputs diverge; unit
          # scale keeps every timed iteration finite (and real — see the
          # memoization hazard note in BENCH_NOTES.md)
-         "PIXEL_STD", "(57.375,57.12,58.395)"],
+         "PIXEL_STD", "(57.375,57.12,58.395)"] + extra,
     )
     teacher_cfg = load_cfg(
         "/root/reference/detectron/configs/focal_distillation/"
         "retinanet_R-101-FPN_1x_teacher.yaml",
         ["NUM_GPUS", "8", "TRAIN.WEIGHTS", "", "COMPUTE_DTYPE", "bfloat16",
-         "PIXEL_STD", "(57.375,57.12,58.395)"],
+         "PIXEL_STD", "(57.375,57.12,58.395)"] + extra,
     )
 
     h, w = 640, 1024

@@ -421,6 +421,11 @@ class Config:
     # the TPU analogue of the reference's memonger gradient-blob sharing
     # (train_net.py:247-258, python/memonger.py): trade FLOPs for HBM.
     REMAT_BACKBONE: bool = False
+    # Space-to-depth conv1 (MLPerf-style): compute the 7x7/s2 stem as a
+    # weight-equivalent 4x4/s1 conv over 2x2-blocked 12-channel input.
+    # Same outputs, same checkpoint layout (param stays (7,7,3,64)); only
+    # the on-device compute layout changes. See models/resnet.py Conv1S2D.
+    S2D_STEM: bool = False
     # When set, the train loop captures a jax.profiler trace of a few steps
     # into this directory — the prof_dag/htrace analogue (SURVEY.md §5.1).
     PROFILE_DIR: str = ""

@@ -59,6 +59,7 @@ class ModelArch:
 
     compute_dtype: str = "bfloat16"
     remat: bool = False
+    s2d_stem: bool = False
 
     @property
     def num_anchors(self) -> int:
@@ -121,4 +122,5 @@ def arch_from_config(cfg: Config) -> ModelArch:
         softmax=cfg.RETINANET.SOFTMAX,
         compute_dtype=cfg.COMPUTE_DTYPE,
         remat=cfg.REMAT_BACKBONE,
+        s2d_stem=cfg.S2D_STEM,
     )

@@ -58,6 +58,52 @@ def _conv(name: str, features: int, kernel: int, stride: int = 1,
     )
 
 
+class Conv1S2D(nn.Module):
+    """conv1 as a weight-equivalent space-to-depth conv (the MLPerf TPU
+    trick for the stem).
+
+    A 7x7/s2 conv over 3-channel input maps poorly onto the MXU: the
+    contracting dim packs cin=3 into 128-wide lanes. Regrouping 2x2 input
+    blocks into 12 channels turns it into a 4x4/s1 conv with IDENTICAL
+    outputs: zero-pad the kernel to 8x8 with a leading row/col (the extra
+    tap multiplies zeros), then split each spatial axis into (tap, block
+    parity). The parameter keeps the reference's name and (7,7,cin,64)
+    shape, so checkpoints and the weight converter are untouched; only the
+    on-device compute layout changes. Equivalence is pinned by
+    tests/test_s2d_stem.py. Ref stem: ResNet.py:88-99 / conv1 blob.
+    """
+
+    dtype: Any
+
+    @nn.compact
+    def __call__(self, x):
+        n, h, w, c = x.shape
+        w7 = self.param(
+            "kernel", nn.initializers.he_normal(), (7, 7, c, 64), jnp.float32
+        )
+        w8 = jnp.pad(w7, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        # k[r, s, (by*2+bx)*c + ci, f] = w8[2r+by, 2s+bx, ci, f]
+        k = (
+            w8.reshape(4, 2, 4, 2, c, 64)
+            .transpose(0, 2, 1, 3, 4, 5)
+            .reshape(4, 4, 4 * c, 64)
+        )
+        y = (
+            x.reshape(n, h // 2, 2, w // 2, 2, c)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(n, h // 2, w // 2, 4 * c)
+        )
+        # block-row taps i-2..i+1 cover full-res rows 2i-4..2i+3; the
+        # original pad-3 window is rows 2i-3..2i+3 plus the zeroed w8 row
+        return jax.lax.conv_general_dilated(
+            y.astype(self.dtype),
+            k.astype(self.dtype),
+            (1, 1),
+            ((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+
 class Bottleneck(nn.Module):
     """1x1 -> 3x3 (grouped) -> 1x1 bottleneck with AffineChannel after each
     conv, plus projection shortcut when dims change (ResNet.py:221-278)."""
@@ -124,7 +170,10 @@ class ResNetBody(nn.Module):
         dtype = jnp.dtype(a.compute_dtype)
         x = x.astype(dtype)
 
-        p = _conv("conv1", 64, 7, 2, dtype=dtype)(x)
+        if a.s2d_stem:
+            p = Conv1S2D(dtype=dtype, name="conv1")(x)
+        else:
+            p = _conv("conv1", 64, 7, 2, dtype=dtype)(x)
         p = AffineChannel(64, name="res_conv1_bn")(p)
         p = nn.relu(p)
         p = nn.max_pool(p, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
