@@ -48,6 +48,19 @@ class CocoDataset:
         ]
         self.num_classes = len(self.classes)
 
+        # keypoint metadata: the flip permutation comes from the category's
+        # keypoint-name list (json_dataset.py keeps dataset.keypoints +
+        # keypoint_flip_map; roidb.py applies it to every flipped entry)
+        self.keypoints = None
+        self.keypoint_flip_idx = None
+        for c in cats:
+            if c.get("keypoints"):
+                from sad_tpu.utils.keypoints import flip_idx_for_names
+
+                self.keypoints = list(c["keypoints"])
+                self.keypoint_flip_idx = flip_idx_for_names(self.keypoints)
+                break
+
         self._images = {im["id"]: im for im in self.dataset.get("images", [])}
         self._anns_by_image: Dict[int, List[dict]] = {}
         for ann in self.dataset.get("annotations", []):
@@ -117,6 +130,11 @@ class CocoDataset:
                 for i, k in enumerate(kps):
                     arr[i, : len(k)] = k
                 entry["gt_keypoints"] = arr
+                if (
+                    self.keypoint_flip_idx is not None
+                    and len(self.keypoint_flip_idx) == nk
+                ):
+                    entry["kp_flip_idx"] = self.keypoint_flip_idx
 
 
 def flip_entry(entry: dict) -> dict:
@@ -136,9 +154,17 @@ def flip_entry(entry: dict) -> dict:
         out["segms"] = [flip_polys(s, w) for s in entry["segms"]]
     kp = entry.get("gt_keypoints")
     if kp is not None and len(kp):
-        kp = kp.copy()
+        # left/right channels swap under a horizontal flip (ref:
+        # keypoints.py:71-86 flip_keypoints via the dataset flip map,
+        # applied per flipped roidb entry in roidb.py)
+        idx = entry.get("kp_flip_idx")
+        if idx is None and kp.shape[1] == 17:
+            from sad_tpu.utils.keypoints import flip_keypoint_channels
+
+            idx = flip_keypoint_channels()
+        kp = kp[:, idx].copy() if idx is not None else kp.copy()
         vis = kp[..., 2] > 0
-        kp[..., 0] = np.where(vis, w - kp[..., 0] - 1, kp[..., 0])
+        kp[..., 0] = np.where(vis, w - kp[..., 0] - 1, 0.0)
         out["gt_keypoints"] = kp
     return out
 

@@ -27,14 +27,24 @@ def get_keypoints() -> Tuple[List[str], dict]:
     return COCO_KEYPOINTS, flip_map
 
 
-def flip_keypoint_channels() -> np.ndarray:
-    """Index permutation applying the left/right swap."""
-    names, flip_map = get_keypoints()
+def flip_idx_for_names(names: List[str]) -> np.ndarray:
+    """Index permutation applying the left/right swap for an arbitrary
+    keypoint-name list (pairs matched by left_/right_ prefix — the same
+    correspondence the reference hard-codes for COCO in
+    keypoints.py:53-62 and applies at roidb flip time via
+    flip_keypoints, keypoints.py:71-86)."""
     idx = np.arange(len(names))
+    lookup = {n: i for i, n in enumerate(names)}
     for i, n in enumerate(names):
-        if n in flip_map:
-            idx[i] = names.index(flip_map[n])
+        if n.startswith("left_") and ("right_" + n[5:]) in lookup:
+            j = lookup["right_" + n[5:]]
+            idx[i], idx[j] = j, i
     return idx
+
+
+def flip_keypoint_channels() -> np.ndarray:
+    """Index permutation applying the left/right swap (COCO 17)."""
+    return flip_idx_for_names(COCO_KEYPOINTS)
 
 
 def heatmaps_to_keypoints(

@@ -103,6 +103,41 @@ class TestDataset:
         np.testing.assert_allclose(f["boxes"][0, 0], w - e["boxes"][0, 2] - 1)
         np.testing.assert_allclose(f["boxes"][0, 2], w - e["boxes"][0, 0] - 1)
 
+    def test_flip_entry_swaps_keypoint_channels(self, tmp_path):
+        """Training flips must permute left/right keypoint channels via the
+        dataset's keypoint-name metadata (ref: keypoints.py:71-86
+        flip_keypoints applied in roidb.py extend_with_flipped_entries)."""
+        import json as _json
+
+        names = ["nose", "left_eye", "right_eye"]
+        images = [{"id": 1, "file_name": "a.jpg", "height": 50, "width": 100}]
+        anns = [{
+            "id": 1, "image_id": 1, "category_id": 1,
+            "bbox": [10, 10, 40, 30], "area": 1200, "iscrowd": 0,
+            # nose visible at (20,15); left_eye visible at (30,12);
+            # right_eye NOT annotated (v=0, x=y=0)
+            "keypoints": [20, 15, 2, 30, 12, 2, 0, 0, 0],
+        }]
+        cats = [{"id": 1, "name": "person", "keypoints": names,
+                 "skeleton": []}]
+        ann_file = tmp_path / "kp.json"
+        with open(ann_file, "w") as f:
+            _json.dump(
+                {"images": images, "annotations": anns, "categories": cats}, f
+            )
+        ds = CocoDataset(DatasetSpec("kp_synth", str(tmp_path), str(ann_file)))
+        assert ds.keypoints == names
+        e = ds.get_roidb()[0]
+        f = flip_entry(e)
+        kp = f["gt_keypoints"][0]
+        w = e["width"]
+        # nose: unpaired channel, x mirrored
+        np.testing.assert_allclose(kp[0], [w - 20 - 1, 15, 2])
+        # left_eye data landed in the right_eye channel (mirrored x)
+        np.testing.assert_allclose(kp[2], [w - 30 - 1, 12, 2])
+        # the (formerly empty) right_eye channel moved to left_eye: v=0, x=0
+        np.testing.assert_allclose(kp[1], [0, 0, 0])
+
     def test_filter_keeps_only_gt_images(self, synth_dataset):
         ds = CocoDataset(synth_dataset)
         roidb = ds.get_roidb()
