@@ -73,7 +73,9 @@ class CocoDataset:
     def image_path(self, entry: dict) -> str:
         return os.path.join(self.spec.image_directory, entry["file_name"])
 
-    def get_roidb(self, include_gt: bool = True) -> List[dict]:
+    def get_roidb(
+        self, include_gt: bool = True, gt_min_area: float = -1
+    ) -> List[dict]:
         roidb = []
         for img_id in sorted(self._images):
             im = self._images[img_id]
@@ -92,15 +94,17 @@ class CocoDataset:
                 "gt_keypoints": np.zeros((0, 17, 3), np.float32),
             }
             if include_gt:
-                self._add_gt(entry)
+                self._add_gt(entry, gt_min_area)
             roidb.append(entry)
         return roidb
 
-    def _add_gt(self, entry: dict) -> None:
+    def _add_gt(self, entry: dict, gt_min_area: float = -1) -> None:
         h, w = entry["height"], entry["width"]
         boxes, classes, crowd, segms, kps = [], [], [], [], []
         for ann in self._anns_by_image.get(entry["id"], []):
             if ann.get("ignore", 0):
+                continue
+            if ann.get("area", 0) < gt_min_area:  # TRAIN.GT_MIN_AREA knob
                 continue
             x, y, bw, bh = ann["bbox"]
             x1 = max(0.0, x)
@@ -112,7 +116,13 @@ class CocoDataset:
                 classes.append(self.json_to_contiguous[ann["category_id"]])
                 crowd.append(bool(ann.get("iscrowd", 0)))
                 seg = ann.get("segmentation", [])
-                segms.append(seg if isinstance(seg, list) else [])
+                if isinstance(seg, list):
+                    # valid polygons have >= 3 points (json_dataset.py:178-182)
+                    segms.append([p for p in seg if len(p) >= 6])
+                else:
+                    # crowd (and some instance) regions are RLE dicts — kept
+                    # as-is like the reference (json_dataset.py:197)
+                    segms.append(seg if isinstance(seg, dict) else [])
                 k = ann.get("keypoints")
                 kps.append(
                     np.asarray(k, np.float32).reshape(-1, 3)
@@ -149,9 +159,9 @@ def flip_entry(entry: dict) -> dict:
     out["boxes"] = boxes
     out["flipped"] = True
     if entry.get("segms"):
-        from sad_tpu.utils.segms import flip_polys
+        from sad_tpu.utils.segms import flip_segm
 
-        out["segms"] = [flip_polys(s, w) for s in entry["segms"]]
+        out["segms"] = [flip_segm(s, w) for s in entry["segms"]]
     kp = entry.get("gt_keypoints")
     if kp is not None and len(kp):
         # left/right channels swap under a horizontal flip (ref:
@@ -181,13 +191,15 @@ def filter_for_training(roidb: List[dict]) -> List[dict]:
 
 
 def combined_roidb_for_training(
-    dataset_names: Sequence[str], use_flipped: bool = True
+    dataset_names: Sequence[str],
+    use_flipped: bool = True,
+    gt_min_area: float = -1,
 ) -> List[dict]:
     """Union of datasets + flips + filtering (roidb.py:37-149)."""
     roidb: List[dict] = []
     for name in dataset_names:
         ds = CocoDataset(name)
-        roidb.extend(ds.get_roidb(include_gt=True))
+        roidb.extend(ds.get_roidb(include_gt=True, gt_min_area=gt_min_area))
     if use_flipped:
         roidb = roidb + [flip_entry(e) for e in roidb]
     return filter_for_training(roidb)

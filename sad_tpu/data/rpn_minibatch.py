@@ -218,12 +218,32 @@ class RCNNMinibatchBuilder:
             for i, e in enumerate(entries):
                 keep = np.where((e["gt_classes"] > 0) & (~e["is_crowd"]))[0]
                 for j, gi in enumerate(keep[: self.max_gt]):
-                    polys = (e.get("segms") or [[]] * (gi + 1))[gi]
-                    if not polys:
+                    seg = (e.get("segms") or [[]] * (gi + 1))[gi]
+                    if isinstance(seg, dict):
+                        # RLE instance: decode full-res, nearest-sample onto
+                        # the stride grid
+                        from PIL import Image as _Image
+
+                        from sad_tpu.utils.segms import rle_to_mask
+
+                        m = rle_to_mask(seg)
+                        sh = min(hm, int(round(m.shape[0] * scales[i] / s)))
+                        sw = min(wm, int(round(m.shape[1] * scales[i] / s)))
+                        if sh > 0 and sw > 0:
+                            rasters[i, j, :sh, :sw] = (
+                                np.asarray(
+                                    _Image.fromarray(m * 255).resize(
+                                        (sw, sh), _Image.NEAREST
+                                    )
+                                )
+                                > 0
+                            )
+                        continue
+                    if not seg:
                         continue
                     scaled = [
                         (np.asarray(p, np.float64) * scales[i] / s).tolist()
-                        for p in polys
+                        for p in seg
                     ]
                     rasters[i, j] = polys_to_mask(scaled, hm, wm)
             batch["gt_mask_rasters"] = rasters

@@ -111,12 +111,14 @@ def train_model(
     own_loader = loader is None
     if own_loader:
         roidb = combined_roidb_for_training(
-            cfg.TRAIN.DATASETS, cfg.TRAIN.USE_FLIPPED
+            cfg.TRAIN.DATASETS, cfg.TRAIN.USE_FLIPPED,
+            gt_min_area=cfg.TRAIN.GT_MIN_AREA,
         )
         unlabeled = None
         if distill and cfg.DISTILLATION.UNLABEL_DISTILLATION:
             unlabeled = combined_roidb_for_training(
-                cfg.DISTILLATION.UNLABEL_DATASETS, cfg.TRAIN.USE_FLIPPED
+                cfg.DISTILLATION.UNLABEL_DATASETS, cfg.TRAIN.USE_FLIPPED,
+                gt_min_area=cfg.TRAIN.GT_MIN_AREA,
             )
         builder = None
         if is_rcnn:

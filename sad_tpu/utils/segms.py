@@ -50,6 +50,15 @@ def flip_polys(polygons: Sequence[Sequence[float]], width: int) -> List[List[flo
     return out
 
 
+def flip_segm(segm, width: int):
+    """Horizontal flip of one segmentation — polygon list or RLE dict
+    (ref: segms.py flip_segms handles both forms; RLE via
+    decode -> column-reverse -> re-encode)."""
+    if isinstance(segm, dict):
+        return mask_to_rle(rle_to_mask(segm)[:, ::-1])
+    return flip_polys(segm, width)
+
+
 def mask_to_bbox(mask: np.ndarray) -> np.ndarray:
     ys, xs = np.where(mask > 0)
     if len(xs) == 0:
@@ -104,10 +113,13 @@ def mask_to_rle(mask: np.ndarray) -> dict:
 
 def rle_to_mask(rle: dict) -> np.ndarray:
     h, w = rle["size"]
+    counts = rle["counts"]
+    if isinstance(counts, (str, bytes)):  # compressed pycocotools form
+        counts = rle_string_to_counts(counts)
     flat = np.zeros(h * w, np.uint8)
     pos = 0
     val = 0
-    for run in rle["counts"]:
+    for run in counts:
         flat[pos : pos + run] = val
         pos += run
         val = 1 - val

@@ -138,6 +138,63 @@ class TestDataset:
         # the (formerly empty) right_eye channel moved to left_eye: v=0, x=0
         np.testing.assert_allclose(kp[1], [0, 0, 0])
 
+    def test_rle_segms_kept_flipped_and_min_area(self, tmp_path):
+        """RLE segmentations survive the parse (json_dataset.py:197 keeps
+        dicts), flip correctly (segms.py flip_segms RLE branch), tiny
+        polygons are dropped (json_dataset.py:178-182), and
+        TRAIN.GT_MIN_AREA filters annotations (json_dataset.py:183)."""
+        import json as _json
+
+        from sad_tpu.utils.segms import rle_to_mask
+
+        h, w = 8, 12
+        # 3x2 filled block at cols 2-4(excl), rows 1-3(excl): column-major RLE
+        mask = np.zeros((h, w), np.uint8)
+        mask[1:3, 2:4] = 1
+        flat = mask.reshape(-1, order="F")
+        runs, counts, val = [], [], 0
+        n = 0
+        for v in flat:
+            if v == val:
+                n += 1
+            else:
+                counts.append(n)
+                val, n = v, 1
+        counts.append(n)
+        rle = {"size": [h, w], "counts": counts}
+
+        images = [{"id": 1, "file_name": "a.jpg", "height": h, "width": w}]
+        anns = [
+            {"id": 1, "image_id": 1, "category_id": 1, "iscrowd": 1,
+             "bbox": [2, 1, 2, 2], "area": 4, "segmentation": rle},
+            # polygon ann with one degenerate (<6 coords) and one valid poly
+            {"id": 2, "image_id": 1, "category_id": 1, "iscrowd": 0,
+             "bbox": [1, 1, 6, 5], "area": 30,
+             "segmentation": [[1, 1, 6, 1], [1, 1, 6, 1, 6, 5, 1, 5]]},
+            # below-min-area ann (dropped when gt_min_area=3)
+            {"id": 3, "image_id": 1, "category_id": 1, "iscrowd": 0,
+             "bbox": [0, 0, 2, 1], "area": 2, "segmentation": []},
+        ]
+        ann_file = tmp_path / "rle.json"
+        with open(ann_file, "w") as f:
+            _json.dump(
+                {"images": images, "annotations": anns,
+                 "categories": [{"id": 1, "name": "thing"}]}, f,
+            )
+        ds = CocoDataset(DatasetSpec("rle_synth", str(tmp_path), str(ann_file)))
+        e = ds.get_roidb(gt_min_area=3)[0]
+        assert len(e["boxes"]) == 2  # min-area ann filtered
+        assert isinstance(e["segms"][0], dict)
+        assert e["segms"][1] == [[1, 1, 6, 1, 6, 5, 1, 5]]  # tiny poly dropped
+
+        f = flip_entry(e)
+        fm = rle_to_mask(f["segms"][0])
+        np.testing.assert_array_equal(fm, mask[:, ::-1])
+
+        # the RLE instance rasterizes in the mask-target builder
+        orig = rle_to_mask(e["segms"][0])
+        np.testing.assert_array_equal(orig, mask)
+
     def test_filter_keeps_only_gt_images(self, synth_dataset):
         ds = CocoDataset(synth_dataset)
         roidb = ds.get_roidb()

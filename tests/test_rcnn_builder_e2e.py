@@ -128,6 +128,35 @@ class TestBuilderOutputs:
         assert kps[:, 2:].sum() == 0
 
 
+class TestRLERaster:
+    def test_rle_instance_rasterizes(self, kp_mask_setup):
+        """An RLE-dict segmentation produces a non-empty, correctly-placed
+        mask raster on the stride grid (reference keeps RLE instances,
+        json_dataset.py:197)."""
+        cfg, entries = kp_mask_setup
+        from sad_tpu.data.rpn_minibatch import RCNNMinibatchBuilder
+        from sad_tpu.utils.segms import mask_to_rle
+
+        e = dict(entries[0])
+        m = np.zeros((e["height"], e["width"]), np.uint8)
+        b0 = e["boxes"][0].astype(int)
+        m[b0[1]:b0[3], b0[0]:b0[2]] = 1
+        e["segms"] = [mask_to_rle(m)] + list(e["segms"][1:])
+
+        builder = RCNNMinibatchBuilder(cfg, max_gt=8)
+        batch = builder.build([e, entries[1]], seed=0)
+        r = batch["gt_mask_rasters"][0, 0]
+        assert r.sum() > 0
+        s = batch["gt_mask_stride"]
+        ys, xs = np.nonzero(r)
+        scale = 64.0 / e["height"]  # shortest side -> 64
+        np.testing.assert_allclose(
+            [xs.min(), xs.max()],
+            [np.floor(b0[0] * scale / s), np.ceil((b0[2] - 1) * scale / s)],
+            atol=1.5,
+        )
+
+
 class TestFullTrainStep:
     def test_mask_and_keypoint_losses_flow(self, kp_mask_setup):
         cfg, entries = kp_mask_setup
