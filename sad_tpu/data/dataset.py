@@ -179,12 +179,22 @@ def flip_entry(entry: dict) -> dict:
     return out
 
 
-def filter_for_training(roidb: List[dict]) -> List[dict]:
-    """Keep images with at least one non-crowd gt (retinanet.py:119)."""
+def filter_for_training(
+    roidb: List[dict], require_keypoints: bool = False
+) -> List[dict]:
+    """Keep images with at least one non-crowd gt (retinanet.py:119).
+    With keypoint training, the reference additionally drops images with
+    no visible keypoints (roidb.py filter_for_training
+    `has_visible_keypoints` when cfg.MODEL.KEYPOINTS_ON)."""
 
     def ok(e):
         valid = (e["gt_classes"] > 0) & (~e["is_crowd"])
-        return valid.any()
+        if not valid.any():
+            return False
+        if require_keypoints:
+            kp = e.get("gt_keypoints")
+            return kp is not None and len(kp) > 0 and (kp[..., 2] > 0).any()
+        return True
 
     kept = [e for e in roidb if ok(e)]
     return kept
@@ -194,6 +204,7 @@ def combined_roidb_for_training(
     dataset_names: Sequence[str],
     use_flipped: bool = True,
     gt_min_area: float = -1,
+    require_keypoints: bool = False,
 ) -> List[dict]:
     """Union of datasets + flips + filtering (roidb.py:37-149)."""
     roidb: List[dict] = []
@@ -202,4 +213,4 @@ def combined_roidb_for_training(
         roidb.extend(ds.get_roidb(include_gt=True, gt_min_area=gt_min_area))
     if use_flipped:
         roidb = roidb + [flip_entry(e) for e in roidb]
-    return filter_for_training(roidb)
+    return filter_for_training(roidb, require_keypoints=require_keypoints)

@@ -156,7 +156,7 @@ class RCNNMinibatchBuilder:
     sampling itself happens on device (sad_tpu.train.rcnn_train)."""
 
     def __init__(self, cfg: Config, mask_on: bool = None, mask_stride: int = 4,
-                 max_gt: int = 50):
+                 max_gt: int = 50, max_proposals: int = 2000):
         from .minibatch import canvas_shapes
 
         self.cfg = cfg
@@ -165,6 +165,13 @@ class RCNNMinibatchBuilder:
         self.kps_on = cfg.MODEL.KEYPOINTS_ON
         self.mask_stride = mask_stride
         self.max_gt = max_gt
+        # pure Fast R-CNN (FASTER_RCNN False): sample from precomputed
+        # proposals attached to the roidb instead of RPN outputs
+        self.use_proposals = (
+            not cfg.MODEL.FASTER_RCNN
+            and cfg.MODEL.TYPE == "generalized_rcnn"
+        )
+        self.max_proposals = max_proposals
         self._grids = {}
 
     def canvas_for(self, entry: dict) -> Tuple[int, int]:
@@ -198,7 +205,24 @@ class RCNNMinibatchBuilder:
             batch["data"][i, :h, :w] = im
             batch["im_hw"][i] = (h, w)  # scaled content extent (for clipping)
             scales[i] = scale
-        add_rpn_blobs_to_batch(cfg, batch, entries, canvas, scales, seed=seed)
+        add_rpn_blobs_to_batch(
+            cfg, batch, entries, canvas, scales, seed=seed,
+            rpn_targets=not self.use_proposals,
+        )
+        if self.use_proposals:
+            p_cap = self.max_proposals
+            props = np.zeros((n, p_cap, 4), np.float32)
+            pvalid = np.zeros((n, p_cap), bool)
+            for i, e in enumerate(entries):
+                pb = e.get("proposal_boxes")
+                pb = (
+                    np.zeros((0, 4), np.float32) if pb is None
+                    else pb[:p_cap]
+                )
+                props[i, : len(pb)] = pb * scales[i]
+                pvalid[i, : len(pb)] = True
+            batch["proposal_boxes"] = props
+            batch["proposal_valid"] = pvalid
         # repad gt arrays to a fixed max (stable shapes across batches)
         g = batch["gt_boxes"].shape[1]
         if g < self.max_gt:
@@ -272,25 +296,28 @@ def add_rpn_blobs_to_batch(
     canvas: Tuple[int, int],
     im_scales: np.ndarray,
     seed: int = 0,
+    rpn_targets: bool = True,
 ) -> None:
     """Fill batch['rpn_labels'/'rpn_bbox_targets'/'rpn_bbox_inside_weights'/
     'rpn_bbox_outside_weights'] per FPN level, plus padded gt arrays for the
-    on-device proposal-label sampling."""
+    on-device proposal-label sampling. With rpn_targets=False (pure Fast
+    R-CNN from precomputed proposals) only the gt arrays are built."""
     ch, cw = canvas
-    grid = rpn_anchor_grid(cfg, ch, cw)
     n = len(entries)
     rng = np.random.RandomState(seed)
-    levels = grid.levels
-    A = grid.num_anchors
-    batch["rpn_labels"] = {
-        lvl: np.zeros((n, fh, fw, A), np.int32)
-        for lvl, (fh, fw) in zip(levels, grid.field_hw)
-    }
-    for key in ("rpn_bbox_targets", "rpn_bbox_inside_weights", "rpn_bbox_outside_weights"):
-        batch[key] = {
-            lvl: np.zeros((n, fh, fw, A, 4), np.float32)
+    if rpn_targets:
+        grid = rpn_anchor_grid(cfg, ch, cw)
+        levels = grid.levels
+        A = grid.num_anchors
+        batch["rpn_labels"] = {
+            lvl: np.zeros((n, fh, fw, A), np.int32)
             for lvl, (fh, fw) in zip(levels, grid.field_hw)
         }
+        for key in ("rpn_bbox_targets", "rpn_bbox_inside_weights", "rpn_bbox_outside_weights"):
+            batch[key] = {
+                lvl: np.zeros((n, fh, fw, A, 4), np.float32)
+                for lvl, (fh, fw) in zip(levels, grid.field_hw)
+            }
     g_max = max(max((len(e["boxes"]) for e in entries), default=1), 1)
     batch["gt_boxes"] = np.zeros((n, g_max, 4), np.float32)
     batch["gt_classes"] = np.zeros((n, g_max), np.int32)
@@ -299,11 +326,12 @@ def add_rpn_blobs_to_batch(
         keep = (e["gt_classes"] > 0) & (~e["is_crowd"])
         gt = e["boxes"][keep] * im_scales[i]
         cls = e["gt_classes"][keep]
-        lv = assign_rpn_labels(cfg, grid, gt, ch, cw, rng)
-        for j, lvl in enumerate(levels):
-            batch["rpn_labels"][lvl][i] = lv[0][j]
-            batch["rpn_bbox_targets"][lvl][i] = lv[1][j]
-            batch["rpn_bbox_inside_weights"][lvl][i] = lv[2][j]
-            batch["rpn_bbox_outside_weights"][lvl][i] = lv[3][j]
+        if rpn_targets:
+            lv = assign_rpn_labels(cfg, grid, gt, ch, cw, rng)
+            for j, lvl in enumerate(levels):
+                batch["rpn_labels"][lvl][i] = lv[0][j]
+                batch["rpn_bbox_targets"][lvl][i] = lv[1][j]
+                batch["rpn_bbox_inside_weights"][lvl][i] = lv[2][j]
+                batch["rpn_bbox_outside_weights"][lvl][i] = lv[3][j]
         batch["gt_boxes"][i, : len(gt)] = gt
         batch["gt_classes"][i, : len(cls)] = cls

@@ -82,13 +82,76 @@ def decode_rcnn_detections(
 
 def make_rcnn_inference_fn(cfg: Config, model) -> Callable:
     """Jitted Faster R-CNN end-to-end: images -> detections (+ optional
-    mask/keypoint head outputs on the kept boxes)."""
+    mask/keypoint head outputs on the kept boxes).
 
-    def infer(params, images, im_hw, im_scale, content_hw=None):
+    With MODEL.FASTER_RCNN False (pure Fast R-CNN: precomputed
+    selective-search/RPN proposals, ref test.py im_detect_bbox `boxes`
+    input), pass `proposals` (B, P, 4) in network-input coords and
+    `prop_valid` (B, P); the RPN is skipped and the box head runs on the
+    given boxes."""
+
+    precomputed = (
+        not cfg.MODEL.FASTER_RCNN and cfg.MODEL.TYPE == "generalized_rcnn"
+    )
+
+    def infer(params, images, im_hw, im_scale, content_hw=None,
+              proposals=None, prop_valid=None):
         from .inference import device_normalize
 
         images = device_normalize(cfg, images, content_hw)
-        out = model.apply({"params": params}, images, im_hw)
+        if precomputed:
+            b, r = proposals.shape[:2]
+            feats = model.apply({"params": params}, images, method="backbone")
+            batch_col = jnp.repeat(
+                jnp.arange(b, dtype=jnp.float32), r
+            )[:, None]
+            flat = jnp.concatenate(
+                [batch_col, proposals.reshape(-1, 4)], axis=1
+            )
+            if cfg.FPN.FPN_ON:
+                from sad_tpu.ops.proposals import (
+                    map_rois_to_fpn_levels,
+                    multilevel_roi_align,
+                )
+
+                lvls = jax.vmap(
+                    lambda bx: map_rois_to_fpn_levels(
+                        bx, cfg.FPN.ROI_MIN_LEVEL, cfg.FPN.ROI_MAX_LEVEL,
+                        cfg.FPN.ROI_CANONICAL_SCALE,
+                        cfg.FPN.ROI_CANONICAL_LEVEL,
+                    )
+                )(proposals)
+                fd = {
+                    l: feats[l]
+                    for l in range(
+                        cfg.FPN.ROI_MIN_LEVEL, cfg.FPN.ROI_MAX_LEVEL + 1
+                    )
+                    if l in feats
+                }
+                roi_feats = multilevel_roi_align(
+                    fd, flat, lvls.reshape(-1), prop_valid.reshape(-1),
+                    cfg.FAST_RCNN.ROI_XFORM_RESOLUTION,
+                    cfg.FAST_RCNN.ROI_XFORM_SAMPLING_RATIO,
+                )
+                cls_score, bbox_pred = model.apply(
+                    {"params": params}, roi_feats,
+                    method=lambda m, f: m.box_head(f),
+                )
+            else:
+                cls_score, bbox_pred = model.apply(
+                    {"params": params}, feats, flat, method="box_forward"
+                )
+            out = {
+                "rois": proposals,
+                "roi_valid": prop_valid,
+                "cls_prob": jax.nn.softmax(
+                    cls_score.reshape(b, r, -1), axis=-1
+                ),
+                "bbox_pred": bbox_pred.reshape(b, r, -1),
+                "features": feats,
+            }
+        else:
+            out = model.apply({"params": params}, images, im_hw)
         dets = decode_rcnn_detections(
             cfg,
             out["rois"],

@@ -113,7 +113,11 @@ def _make_infer_fn(cfg: Config, model):
 
         fn = make_rcnn_inference_fn(cfg, model)
 
-        def infer(params, data, im_hw, im_scale, content_hw=None):
+        def infer(params, data, im_hw, im_scale, content_hw=None,
+                  proposals=None, prop_valid=None):
+            if proposals is not None:
+                return fn(params, data, im_hw, im_scale, content_hw,
+                          proposals, prop_valid)
             return fn(params, data, im_hw, im_scale, content_hw)
 
         return infer
@@ -140,6 +144,13 @@ def run_inference_on_roidb(
     configured heuristic."""
     infer = _make_infer_fn(cfg, model)
     is_rcnn = cfg.MODEL.TYPE == "generalized_rcnn"
+    # pure Fast R-CNN: precomputed proposals attached to the roidb
+    # (ref: test.py im_detect_all passes entry['boxes'] when not FASTER_RCNN)
+    precomputed = (
+        is_rcnn and not cfg.MODEL.FASTER_RCNN
+        and any("proposal_boxes" in e for e in roidb)
+    )
+    prop_cap = max(cfg.TEST.PROPOSAL_LIMIT, 1)
     bbox_aug = cfg.TEST.BBOX_AUG.ENABLED and is_rcnn
     mask_aug = cfg.MODEL.MASK_ON and cfg.TEST.MASK_AUG.ENABLED and is_rcnn
     kps_aug = (
@@ -213,11 +224,27 @@ def run_inference_on_roidb(
             host = prepare_test_batch(
                 cfg, batch_entries, canvas, as_uint8=True
             )
+            if precomputed:
+                props = np.zeros(
+                    (len(batch_entries), prop_cap, 4), np.float32
+                )
+                pvalid = np.zeros((len(batch_entries), prop_cap), bool)
+                for j_, e_ in enumerate(batch_entries):
+                    pb = e_.get("proposal_boxes")
+                    pb = (
+                        np.zeros((0, 4), np.float32) if pb is None
+                        else pb[:prop_cap]
+                    )
+                    props[j_, : len(pb)] = pb * host["im_scale"][j_]
+                    pvalid[j_, : len(pb)] = True
+                host = dict(host, proposals=props, prop_valid=pvalid)
             timer.tic()
             dev = _put(host)
             out = infer(
                 params, dev["data"], dev["im_hw"], dev["im_scale"],
                 dev["content_hw"],
+                *((dev["proposals"], dev["prop_valid"])
+                  if precomputed else ()),
             )
             boxes = np.asarray(out["boxes"])
             scores = np.asarray(out["scores"])
@@ -430,6 +457,17 @@ def test_net_on_dataset(
     name = dataset_name or cfg.TEST.DATASETS[0]
     ds = CocoDataset(name)
     roidb = ds.get_roidb(include_gt=False)
+    if cfg.TEST.PROPOSAL_FILES and not cfg.MODEL.FASTER_RCNN:
+        from .rpn_generator import add_proposals_to_roidb
+
+        idx = (
+            list(cfg.TEST.DATASETS).index(name)
+            if name in cfg.TEST.DATASETS else 0
+        )
+        add_proposals_to_roidb(
+            roidb, cfg.TEST.PROPOSAL_FILES[idx],
+            top_k=cfg.TEST.PROPOSAL_LIMIT,
+        )
     vis_dir = (
         os.path.join(output_dir or "/tmp/sad_tpu_vis", "vis")
         if cfg.VIS else None

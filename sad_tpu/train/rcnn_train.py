@@ -188,16 +188,19 @@ def make_rcnn_train_step(
     def step(state: TrainState, batch, lr, rng):
         G = n_groups or cfg.NUM_GPUS
 
+        # pure Fast R-CNN: sample from precomputed proposals (selective
+        # search / RPN-stage files, ref roi_data/fast_rcnn.py via
+        # GenerateProposalLabels on entry['boxes']); RPN head + losses are
+        # skipped entirely
+        precomputed = (
+            not cfg.MODEL.FASTER_RCNN and "proposal_boxes" in batch
+        )
+
         def loss_fn(params):
             b = batch["data"].shape[0]
             if is_fpn:
                 feats = model.apply(
                     {"params": params}, batch["data"], method="backbone"
-                )
-                rpn_feats = {l: feats[l] for l in rpn_levels if l in feats}
-                logits, deltas = model.apply(
-                    {"params": params}, rpn_feats,
-                    method=lambda m, f: m.rpn(f),
                 )
             else:
                 # single-scale (VGG/C4/R-FCN) path: one feature map at
@@ -205,105 +208,124 @@ def make_rcnn_train_step(
                 feat = model.apply(
                     {"params": params}, batch["data"], method="backbone"
                 )
-                ss_logits, ss_deltas = model.apply(
-                    {"params": params}, feat, method="rpn_forward"
-                )
-                logits = {ss_level: ss_logits}
-                deltas = {ss_level: ss_deltas}
-            total, metrics = rpn_losses(cfg, logits, deltas, batch, G)
-
-            # ---- proposals (train-mode top-Ns) + on-device sampling.
-            # Candidates are built per (level, image) under vmap; the
-            # greedy NMS over ALL (level x image) problems happens in ONE
-            # sublane-packed Pallas call (ops/nms.nms_multi: 8 problems per
-            # kernel program) — identical per-problem results, ~8x cheaper
-            # than NMS inside the per-image vmap.
-            from sad_tpu.ops.proposals import (
-                nms_levels_batched,
-                proposal_candidates,
-            )
-
-            def _candidates_all_images(logits_lvl, deltas_lvl, cell, stride):
-                h, w = logits_lvl.shape[1:3]
-                na = logits_lvl.shape[-1]
-                anchors = jnp.asarray(
-                    field_of_anchors(cell, stride, h, w), jnp.float32
-                )
-                scores = jax.nn.sigmoid(jax.lax.stop_gradient(logits_lvl))
-                d = jax.lax.stop_gradient(
-                    deltas_lvl.reshape(b, h, w, na, 4)
-                )
-                return jax.vmap(
-                    lambda s, dd, ihw: proposal_candidates(
-                        s, dd, anchors, ihw,
-                        cfg.TRAIN.RPN_PRE_NMS_TOP_N,
-                        float(cfg.TRAIN.RPN_MIN_SIZE),
-                    )
-                )(scores, d, batch["im_hw"])  # (B,k,4), (B,k), (B,k)
-
-            prop_levels = []
-            if not is_fpn:
-                stride = float(cfg.RPN.STRIDE)
-                cell = np.concatenate(
-                    [
-                        generate_cell_anchors(stride, (s,), (ar,))
-                        for s in cfg.RPN.SIZES
-                        for ar in cfg.RPN.ASPECT_RATIOS
-                    ]
-                )
-                prop_levels.append(
-                    (ss_level,)
-                    + _candidates_all_images(
-                        logits[ss_level], deltas[ss_level], cell, stride
-                    )
-                )
+            if precomputed:
+                total = jnp.float32(0.0)
+                metrics = {}
             else:
-                for lvl in rpn_feats:
-                    stride = 2.0 ** lvl
-                    size = cfg.FPN.RPN_ANCHOR_START_SIZE * (
-                        2 ** (lvl - cfg.FPN.RPN_MIN_LEVEL)
+                if is_fpn:
+                    rpn_feats = {l: feats[l] for l in rpn_levels if l in feats}
+                    logits, deltas = model.apply(
+                        {"params": params}, rpn_feats,
+                        method=lambda m, f: m.rpn(f),
                     )
-                    cell = np.concatenate(
-                        [
-                            generate_cell_anchors(stride, (size,), (ar,))
-                            for ar in cfg.FPN.RPN_ASPECT_RATIOS
-                        ]
+                else:
+                    ss_logits, ss_deltas = model.apply(
+                        {"params": params}, feat, method="rpn_forward"
                     )
-                    prop_levels.append(
-                        (lvl,)
-                        + _candidates_all_images(
-                            logits[lvl], deltas[lvl], cell, stride
-                        )
-                    )
-
-            lv_b, lv_s, lv_v = nms_levels_batched(
-                prop_levels,
-                cfg.TRAIN.RPN_NMS_THRESH, cfg.TRAIN.RPN_POST_NMS_TOP_N,
-            )
+                    logits = {ss_level: ss_logits}
+                    deltas = {ss_level: ss_deltas}
+                total, metrics = rpn_losses(cfg, logits, deltas, batch, G)
 
             rngs = jax.random.split(rng, b)
-            if not is_fpn:
+            if precomputed:
                 sampled = jax.vmap(
                     lambda bx, va, gb, gc, ri: _sample(ri, bx, va, gb, gc)
                 )(
-                    lv_b[ss_level], lv_v[ss_level],
+                    batch["proposal_boxes"], batch["proposal_valid"],
                     batch["gt_boxes"], batch["gt_classes"], rngs,
                 )
             else:
-                def per_image(lvb, lvs, lvv, gb, gc, ri):
-                    boxes, _scores, valid, _ = (
-                        collect_and_distribute_fpn_proposals(
-                            lvb, lvs, lvv,
-                            cfg.TRAIN.RPN_POST_NMS_TOP_N,
-                            cfg.FPN.ROI_MIN_LEVEL, cfg.FPN.ROI_MAX_LEVEL,
+                # ---- proposals (train-mode top-Ns) + on-device sampling.
+                # Candidates are built per (level, image) under vmap; the
+                # greedy NMS over ALL (level x image) problems happens in ONE
+                # sublane-packed Pallas call (ops/nms.nms_multi: 8 problems per
+                # kernel program) — identical per-problem results, ~8x cheaper
+                # than NMS inside the per-image vmap.
+                from sad_tpu.ops.proposals import (
+                    nms_levels_batched,
+                    proposal_candidates,
+                )
+
+                def _candidates_all_images(logits_lvl, deltas_lvl, cell, stride):
+                    h, w = logits_lvl.shape[1:3]
+                    na = logits_lvl.shape[-1]
+                    anchors = jnp.asarray(
+                        field_of_anchors(cell, stride, h, w), jnp.float32
+                    )
+                    scores = jax.nn.sigmoid(jax.lax.stop_gradient(logits_lvl))
+                    d = jax.lax.stop_gradient(
+                        deltas_lvl.reshape(b, h, w, na, 4)
+                    )
+                    return jax.vmap(
+                        lambda s, dd, ihw: proposal_candidates(
+                            s, dd, anchors, ihw,
+                            cfg.TRAIN.RPN_PRE_NMS_TOP_N,
+                            float(cfg.TRAIN.RPN_MIN_SIZE),
+                        )
+                    )(scores, d, batch["im_hw"])  # (B,k,4), (B,k), (B,k)
+
+                prop_levels = []
+                if not is_fpn:
+                    stride = float(cfg.RPN.STRIDE)
+                    cell = np.concatenate(
+                        [
+                            generate_cell_anchors(stride, (s,), (ar,))
+                            for s in cfg.RPN.SIZES
+                            for ar in cfg.RPN.ASPECT_RATIOS
+                        ]
+                    )
+                    prop_levels.append(
+                        (ss_level,)
+                        + _candidates_all_images(
+                            logits[ss_level], deltas[ss_level], cell, stride
                         )
                     )
-                    return _sample(ri, boxes, valid, gb, gc)
+                else:
+                    for lvl in rpn_feats:
+                        stride = 2.0 ** lvl
+                        size = cfg.FPN.RPN_ANCHOR_START_SIZE * (
+                            2 ** (lvl - cfg.FPN.RPN_MIN_LEVEL)
+                        )
+                        cell = np.concatenate(
+                            [
+                                generate_cell_anchors(stride, (size,), (ar,))
+                                for ar in cfg.FPN.RPN_ASPECT_RATIOS
+                            ]
+                        )
+                        prop_levels.append(
+                            (lvl,)
+                            + _candidates_all_images(
+                                logits[lvl], deltas[lvl], cell, stride
+                            )
+                        )
 
-                sampled = jax.vmap(per_image)(
-                    lv_b, lv_s, lv_v,
-                    batch["gt_boxes"], batch["gt_classes"], rngs,
+                lv_b, lv_s, lv_v = nms_levels_batched(
+                    prop_levels,
+                    cfg.TRAIN.RPN_NMS_THRESH, cfg.TRAIN.RPN_POST_NMS_TOP_N,
                 )
+
+                if not is_fpn:
+                    sampled = jax.vmap(
+                        lambda bx, va, gb, gc, ri: _sample(ri, bx, va, gb, gc)
+                    )(
+                        lv_b[ss_level], lv_v[ss_level],
+                        batch["gt_boxes"], batch["gt_classes"], rngs,
+                    )
+                else:
+                    def per_image(lvb, lvs, lvv, gb, gc, ri):
+                        boxes, _scores, valid, _ = (
+                            collect_and_distribute_fpn_proposals(
+                                lvb, lvs, lvv,
+                                cfg.TRAIN.RPN_POST_NMS_TOP_N,
+                                cfg.FPN.ROI_MIN_LEVEL, cfg.FPN.ROI_MAX_LEVEL,
+                            )
+                        )
+                        return _sample(ri, boxes, valid, gb, gc)
+
+                    sampled = jax.vmap(per_image)(
+                        lv_b, lv_s, lv_v,
+                        batch["gt_boxes"], batch["gt_classes"], rngs,
+                    )
 
             r = sampled["rois"].shape[1]
             batch_col = jnp.repeat(jnp.arange(b, dtype=jnp.float32), r)[:, None]

@@ -113,7 +113,24 @@ def train_model(
         roidb = combined_roidb_for_training(
             cfg.TRAIN.DATASETS, cfg.TRAIN.USE_FLIPPED,
             gt_min_area=cfg.TRAIN.GT_MIN_AREA,
+            require_keypoints=cfg.MODEL.KEYPOINTS_ON,
         )
+        if (
+            is_rcnn and cfg.TRAIN.PROPOSAL_FILES
+            and not cfg.MODEL.FASTER_RCNN
+        ):
+            # pure Fast R-CNN: attach the precomputed proposal set, one
+            # file per dataset (ref: roidb.py combined_roidb_for_training
+            # zips TRAIN.DATASETS with TRAIN.PROPOSAL_FILES)
+            from sad_tpu.eval.rpn_generator import add_proposals_to_roidb
+
+            for dname, pf in zip(
+                cfg.TRAIN.DATASETS, cfg.TRAIN.PROPOSAL_FILES
+            ):
+                sub = [
+                    e for e in roidb if e.get("dataset_name") == dname
+                ]
+                add_proposals_to_roidb(sub, pf)
         unlabeled = None
         if distill and cfg.DISTILLATION.UNLABEL_DISTILLATION:
             unlabeled = combined_roidb_for_training(
