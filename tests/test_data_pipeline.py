@@ -195,6 +195,26 @@ class TestDataset:
         orig = rle_to_mask(e["segms"][0])
         np.testing.assert_array_equal(orig, mask)
 
+    def test_filter_requires_visible_keypoints_when_asked(self):
+        """Keypoint training drops images with no visible keypoints
+        (ref: roidb.py filter_for_training has_visible_keypoints)."""
+        from sad_tpu.data.dataset import filter_for_training
+
+        def entry(kp):
+            return {
+                "gt_classes": np.asarray([1], np.int32),
+                "is_crowd": np.zeros(1, bool),
+                "gt_keypoints": kp,
+            }
+
+        visible = entry(np.asarray([[[5, 5, 2]]], np.float32))
+        invisible = entry(np.zeros((1, 1, 3), np.float32))
+        none = entry(np.zeros((0, 1, 3), np.float32))
+        roidb = [visible, invisible, none]
+        assert len(filter_for_training(roidb)) == 3
+        kept = filter_for_training(roidb, require_keypoints=True)
+        assert kept == [visible]
+
     def test_filter_keeps_only_gt_images(self, synth_dataset):
         ds = CocoDataset(synth_dataset)
         roidb = ds.get_roidb()
