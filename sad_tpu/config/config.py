@@ -187,6 +187,9 @@ class ModelConfig:
     RPN_ONLY: bool = False
     EXECUTION_TYPE: str = "dag"  # kept for config parity; XLA schedules for us
     BBOX_REG_WEIGHTS: Tuple[float, float, float, float] = (10.0, 10.0, 5.0, 5.0)
+    # extra scale on the box-regression loss (ref: config.py:497 +
+    # detector.py GetBBoxLossScale)
+    BBOX_REG_WEIGHT_SCALE: float = 1.0
 
 
 @dataclass(frozen=True)

@@ -150,6 +150,39 @@ def assign_rpn_labels(
     return tuple(zip(*out))
 
 
+def pad_proposals(entries, cap: int, scales, hflip: bool = False):
+    """Pack roidb `proposal_boxes` into static (N, cap, 4) network-input-coord
+    canvases + (N, cap) valid flags (shared by training batches and the
+    precomputed-proposal eval path; ref roi_data/fast_rcnn.py /
+    test.py im_detect_bbox `boxes` input).
+
+    `scales` is per-entry im_scale. With hflip=True the boxes are mirrored
+    on the raw image width first (box_utils.flip_boxes convention) — for
+    test-time-augmentation passes whose image was flipped at batch build.
+    Training flips don't use this: flipped roidb entries already carry
+    flipped proposal_boxes.
+    """
+    n = len(entries)
+    props = np.zeros((n, cap, 4), np.float32)
+    pvalid = np.zeros((n, cap), bool)
+    for i, e in enumerate(entries):
+        pb = e.get("proposal_boxes")
+        pb = (
+            np.zeros((0, 4), np.float32)
+            if pb is None
+            else np.asarray(pb[:cap], np.float32)
+        )
+        if hflip and len(pb):
+            w = float(e["width"])
+            x1 = pb[:, 0].copy()
+            pb = pb.copy()
+            pb[:, 0] = w - pb[:, 2] - 1.0
+            pb[:, 2] = w - x1 - 1.0
+        props[i, : len(pb)] = pb * scales[i]
+        pvalid[i, : len(pb)] = True
+    return props, pvalid
+
+
 class RCNNMinibatchBuilder:
     """Static-shape training batches for the Faster/Mask R-CNN path
     (images + RPN targets + padded gt; optional gt mask rasters). The RoI
@@ -210,17 +243,9 @@ class RCNNMinibatchBuilder:
             rpn_targets=not self.use_proposals,
         )
         if self.use_proposals:
-            p_cap = self.max_proposals
-            props = np.zeros((n, p_cap, 4), np.float32)
-            pvalid = np.zeros((n, p_cap), bool)
-            for i, e in enumerate(entries):
-                pb = e.get("proposal_boxes")
-                pb = (
-                    np.zeros((0, 4), np.float32) if pb is None
-                    else pb[:p_cap]
-                )
-                props[i, : len(pb)] = pb * scales[i]
-                pvalid[i, : len(pb)] = True
+            props, pvalid = pad_proposals(
+                entries, self.max_proposals, scales
+            )
             batch["proposal_boxes"] = props
             batch["proposal_valid"] = pvalid
         # repad gt arrays to a fixed max (stable shapes across batches)

@@ -100,6 +100,12 @@ def make_rcnn_inference_fn(cfg: Config, model) -> Callable:
 
         images = device_normalize(cfg, images, content_hw)
         if precomputed:
+            if proposals is None or prop_valid is None:
+                raise ValueError(
+                    "MODEL.FASTER_RCNN=False (pure Fast R-CNN) needs "
+                    "precomputed proposals — pass proposals/prop_valid "
+                    "(set TEST.PROPOSAL_FILES)"
+                )
             b, r = proposals.shape[:2]
             feats = model.apply({"params": params}, images, method="backbone")
             batch_col = jnp.repeat(

@@ -225,18 +225,11 @@ def run_inference_on_roidb(
                 cfg, batch_entries, canvas, as_uint8=True
             )
             if precomputed:
-                props = np.zeros(
-                    (len(batch_entries), prop_cap, 4), np.float32
+                from sad_tpu.data.rpn_minibatch import pad_proposals
+
+                props, pvalid = pad_proposals(
+                    batch_entries, prop_cap, host["im_scale"]
                 )
-                pvalid = np.zeros((len(batch_entries), prop_cap), bool)
-                for j_, e_ in enumerate(batch_entries):
-                    pb = e_.get("proposal_boxes")
-                    pb = (
-                        np.zeros((0, 4), np.float32) if pb is None
-                        else pb[:prop_cap]
-                    )
-                    props[j_, : len(pb)] = pb * host["im_scale"][j_]
-                    pvalid[j_, : len(pb)] = True
                 host = dict(host, proposals=props, prop_valid=pvalid)
             timer.tic()
             dev = _put(host)
@@ -274,10 +267,20 @@ def run_inference_on_roidb(
                         int(t["scale"]), int(t["max_size"]), t["hflip"],
                         as_uint8=True,
                     )
+                    if precomputed:
+                        from sad_tpu.data.rpn_minibatch import pad_proposals
+
+                        pt, pvt = pad_proposals(
+                            batch_entries, prop_cap, host_t["im_scale"],
+                            hflip=bool(t["hflip"]),
+                        )
+                        host_t = dict(host_t, proposals=pt, prop_valid=pvt)
                     dev_t = _put(host_t)
                     o = infer(
                         params, dev_t["data"], dev_t["im_hw"],
                         dev_t["im_scale"], dev_t["content_hw"],
+                        *((dev_t["proposals"], dev_t["prop_valid"])
+                          if precomputed else ()),
                     )
                     outs_t.append(
                         {kk: np.asarray(o[kk])
@@ -460,10 +463,22 @@ def test_net_on_dataset(
     if cfg.TEST.PROPOSAL_FILES and not cfg.MODEL.FASTER_RCNN:
         from .rpn_generator import add_proposals_to_roidb
 
-        idx = (
-            list(cfg.TEST.DATASETS).index(name)
-            if name in cfg.TEST.DATASETS else 0
-        )
+        # proposal files pair positionally with TEST.DATASETS; a wrong file
+        # would silently yield zero proposals per image (image-id mismatch),
+        # so refuse rather than guess
+        if name not in cfg.TEST.DATASETS:
+            raise ValueError(
+                f"TEST.PROPOSAL_FILES is set but dataset {name!r} is not in "
+                f"TEST.DATASETS {cfg.TEST.DATASETS} — cannot pick its "
+                "proposal file"
+            )
+        idx = list(cfg.TEST.DATASETS).index(name)
+        if idx >= len(cfg.TEST.PROPOSAL_FILES):
+            raise ValueError(
+                "TEST.PROPOSAL_FILES must pair 1:1 with TEST.DATASETS "
+                f"(got {len(cfg.TEST.PROPOSAL_FILES)} files, dataset "
+                f"{name!r} is index {idx})"
+            )
         add_proposals_to_roidb(
             roidb, cfg.TEST.PROPOSAL_FILES[idx],
             top_k=cfg.TEST.PROPOSAL_LIMIT,

@@ -163,7 +163,9 @@ def nms_batched_pallas(
     packed). Returns (idx (N, max_out) int32, valid (N, max_out) bool);
     per-problem results identical to nms_fixed."""
     n, k, _ = boxes.shape
-    if k > MAX_K:
+    # each program holds SUBLANES problems' planes at once, so the VMEM
+    # ceiling is SUBLANES x tighter than the single-problem kernel's MAX_K
+    if k > MAX_K // SUBLANES:
         return jax.vmap(
             lambda b, s: nms_fixed_pallas(b, s, iou_threshold, max_out)
         )(boxes, scores)

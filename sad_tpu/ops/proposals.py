@@ -209,6 +209,18 @@ def multilevel_roi_align(
     return picked * valid[:, None, None, None].astype(picked.dtype)
 
 
+def sampled_fg_cap(batch_size_per_im: int, fg_fraction: float) -> int:
+    """Leading-slot fg capacity of sample_proposal_labels' output ordering.
+
+    The sampler sorts kept-fg rois into the leading slots (priority
+    2+u > bg 1+u > demoted fg 0.5) and caps fg at this count, so the first
+    `sampled_fg_cap(...)` slots per image provably contain every fg roi.
+    Aux heads (mask/keypoint) slice exactly this prefix — any change to the
+    rounding here changes both the sampler and the slices in lockstep.
+    """
+    return int(round(fg_fraction * batch_size_per_im))
+
+
 def sample_proposal_labels(
     rng: jax.Array,
     proposals: jnp.ndarray,  # (P, 4) from RPN (one image)
@@ -251,7 +263,7 @@ def sample_proposal_labels(
     is_fg = (max_iou >= fg_thresh) & all_valid
     is_bg = (max_iou < bg_thresh_hi) & (max_iou >= bg_thresh_lo) & all_valid
 
-    fg_cap = int(round(fg_fraction * batch_size_per_im))
+    fg_cap = sampled_fg_cap(batch_size_per_im, fg_fraction)
     # random priorities: fg first (capped), then bg, then invalid
     r1, r2 = jax.random.split(rng)
     pri = jnp.where(is_fg, 2.0 + jax.random.uniform(r1, (p,)), 0.0)

@@ -62,7 +62,14 @@ def mask_loss(
     is_fg: jnp.ndarray,  # (R,)
     n_groups: int,
 ) -> jnp.ndarray:
-    """Sigmoid CE on the gt-class channel at fg rois, mean over fg elements."""
+    """Sigmoid CE on the gt-class channel at fg rois, mean over fg elements.
+
+    The reference computes a per-GPU mean scaled by 1/NUM_GPUS and allreduce
+    SUMS the gradients (mask_rcnn_heads.py add_mask_rcnn_losses x
+    detector.py GetLossScale), so the effective total is the AVERAGE of the
+    per-GPU means. Rows here are n_groups consecutive per-"GPU" blocks, so
+    we reproduce that exactly: per-group weighted means, averaged.
+    """
     if cfg.MRCNN.CLS_SPECIFIC_MASK:
         sel = jnp.take_along_axis(
             mask_logits, jnp.maximum(roi_labels, 0)[:, None, None, None], axis=-1
@@ -74,12 +81,13 @@ def mask_loss(
     ge = (x >= 0).astype(jnp.float32)
     ce = -x * (t - ge) + jnp.log(1.0 + jnp.exp(x - 2.0 * x * ge))
     w = is_fg.astype(jnp.float32)[:, None, None]
-    count = jnp.maximum(jnp.sum(w) * sel.shape[1] * sel.shape[2], 1.0)
+    sum_g = jnp.sum((ce * w).reshape(n_groups, -1), axis=1, dtype=jnp.float32)
+    count_g = jnp.maximum(
+        jnp.sum(w.reshape(n_groups, -1), axis=1) * sel.shape[1] * sel.shape[2],
+        1.0,
+    )
     return (
-        cfg.MRCNN.WEIGHT_LOSS_MASK
-        * (1.0 / n_groups)
-        * jnp.sum(ce * w, dtype=jnp.float32)
-        / count
+        cfg.MRCNN.WEIGHT_LOSS_MASK * jnp.sum(sum_g / count_g) / n_groups
     )
 
 
@@ -115,34 +123,47 @@ def keypoint_loss(
     heat_valid: jnp.ndarray,  # (R, K)
     is_fg: jnp.ndarray,  # (R,)
     n_groups: int,
+    n_images: int = 0,
 ) -> jnp.ndarray:
+    """Softmax CE over the heatmap per visible keypoint.
+
+    Reference semantics (keypoint_rcnn_heads.py:110-149 x GetLossScale):
+    per-GPU SoftmaxWithLoss with 0/1 weights = weighted mean over that
+    GPU's visible keypoints, scaled 1/NUM_GPUS, gradients allreduce-SUMMED
+    -> effective total = average of per-GPU terms. Rows here are n_groups
+    consecutive per-"GPU" blocks; n_images is the total image count (so
+    images-per-group = n_images // n_groups).
+
+    NORMALIZE_BY_VISIBLE off: the reference multiplies each GPU's
+    visible-mean loss by num_visible/(IMS*BATCH_SIZE_PER_IM*FG_FRACTION*K)
+    (keypoint_rcnn.py:105-110) — i.e. a FIXED per-GPU denominator of
+    expected-max-fg-keypoints, independent of how many roi rows reach this
+    head (the head may run on the leading fg_cap slots only).
+    """
     r, s, _, k = kps_logits.shape
     flat = kps_logits.reshape(r, s * s, k).transpose(0, 2, 1)  # (R, K, S*S)
     logp = jax.nn.log_softmax(flat.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, heat_labels[..., None], axis=-1)[..., 0]
     w = (heat_valid & is_fg[:, None]).astype(jnp.float32)
-    # NORMALIZE_BY_VISIBLE off: the reference multiplies the visible-mean
-    # loss by num_visible/(IMS*BATCH_SIZE_PER_IM*FG_FRACTION*K) — i.e. a
-    # FIXED denominator of expected-max-fg-keypoints (keypoint_rcnn.py:
-    # 105-110 + keypoint_rcnn_heads.py:128-146). r here is IMS*BATCH_SIZE
-    # _PER_IM rois, so the fixed denominator is r*FG_FRACTION*k.
-    nvis = jnp.sum(w)
-    denom = (
-        jnp.maximum(nvis, 1.0)
-        if cfg.KRCNN.NORMALIZE_BY_VISIBLE_KEYPOINTS
-        else jnp.float32(r * cfg.TRAIN.FG_FRACTION * k)
-    )
+    sum_g = jnp.sum((nll * w).reshape(n_groups, -1), axis=1, dtype=jnp.float32)
+    nvis_g = jnp.sum(w.reshape(n_groups, -1), axis=1)
+    if cfg.KRCNN.NORMALIZE_BY_VISIBLE_KEYPOINTS:
+        per_group = sum_g / jnp.maximum(nvis_g, 1.0)
+    else:
+        if not n_images:
+            raise ValueError(
+                "keypoint_loss with NORMALIZE_BY_VISIBLE_KEYPOINTS=False "
+                "needs n_images (the fixed denominator is per-image, not "
+                "per-roi-row)"
+            )
+        ims = n_images // n_groups
+        per_group = sum_g / jnp.float32(
+            ims * cfg.TRAIN.BATCH_SIZE_PER_IM * cfg.TRAIN.FG_FRACTION * k
+        )
     # minibatch-validity gate (keypoint_rcnn.py:94-103
-    # finalize_keypoint_minibatch): too few visible keypoints -> the whole
-    # keypoint loss is dropped for this step. On-device predicate instead of
-    # the reference's host-side blob zeroing (static shapes).
-    gate = (
-        nvis > cfg.KRCNN.MIN_KEYPOINT_COUNT_FOR_VALID_MINIBATCH
-    ).astype(jnp.float32)
-    return (
-        cfg.KRCNN.LOSS_WEIGHT
-        * (1.0 / n_groups)
-        * gate
-        * jnp.sum(nll * w, dtype=jnp.float32)
-        / denom
-    )
+    # finalize_keypoint_minibatch): a group with too few visible keypoints
+    # contributes no keypoint loss. On-device predicate instead of the
+    # reference's host-side blob zeroing (static shapes).
+    gate = nvis_g > cfg.KRCNN.MIN_KEYPOINT_COUNT_FOR_VALID_MINIBATCH
+    per_group = jnp.where(gate, per_group, 0.0)
+    return cfg.KRCNN.LOSS_WEIGHT * jnp.sum(per_group) / n_groups

@@ -7,13 +7,14 @@ jitted function: backbone -> RPN losses -> on-device proposal generation ->
 on-device fg/bg sampling (sad_tpu.ops.proposals.sample_proposal_labels) ->
 multilevel RoIAlign -> box head losses -> momentum SGD.
 
-Loss wiring preserved:
-- RPN cls: sum sigmoid-CE over sampled anchors, scaled by
-  loss_scale / (RPN_BATCH_SIZE_PER_IM * IMS_PER_BATCH) (FPN.py:410-418),
-- RPN bbox: SmoothL1 with inside/outside weights, beta=1/9, scale/N
-  (FPN.py:422-431) — the 1/num_examples normalization rides the outside
-  weights built by the host loader,
-- box head: softmax CE mean over sampled RoIs + SmoothL1 with
+Loss wiring preserved (all group-exact: the reference's per-GPU losses
+scaled 1/NUM_GPUS + gradient allreduce-SUM = average of per-GPU terms;
+see each loss function's docstring):
+- RPN cls: sum sigmoid-CE over sampled anchors / (RPN_BATCH_SIZE_PER_IM *
+  total images) (FPN.py:410-418),
+- RPN bbox: SmoothL1 with inside/outside weights, beta=1/9, /dim0
+  (FPN.py:422-431),
+- box head: softmax CE per-group mean over sampled RoIs + SmoothL1 with
   class-specific weights (fast_rcnn_heads.py add_fast_rcnn_losses).
 """
 
@@ -31,6 +32,7 @@ from sad_tpu.ops.proposals import (
     collect_and_distribute_fpn_proposals,
     multilevel_roi_align,
     sample_proposal_labels,
+    sampled_fg_cap,
 )
 
 from .optimizer import MomentumSGDState, momentum_sgd_update
@@ -58,9 +60,15 @@ FLT_MIN = 1.1754944e-38
 
 
 def rpn_losses(cfg: Config, logits, deltas, batch, n_groups: int):
-    """Per-level RPN losses (FPN.py:391-431)."""
-    loss_scale = 1.0 / n_groups
-    ims = cfg.TRAIN.IMS_PER_BATCH
+    """Per-level RPN losses (FPN.py:391-431).
+
+    Reference totals after the 1/NUM_GPUS loss scale and the gradient
+    allreduce-SUM: cls = sum_ce / (NUM_GPUS * RPN_BATCH_SIZE_PER_IM *
+    IMS_PER_BATCH) and bbox = sum_sl1 / (NUM_GPUS * IMS_PER_BATCH) — both
+    denominators are static, so the batch-global forms below (B = total
+    images = n_groups * IMS_PER_BATCH) are exactly equivalent.
+    """
+    del n_groups  # denominators are static; global forms are group-exact
     metrics = {}
     total = jnp.float32(0.0)
     for lvl in sorted(logits):
@@ -73,18 +81,19 @@ def rpn_losses(cfg: Config, logits, deltas, batch, n_groups: int):
         ce = jnp.where(t == -1, 0.0, ce)
         cls = (
             jnp.sum(ce, dtype=jnp.float32)
-            * loss_scale
-            / (cfg.TRAIN.RPN_BATCH_SIZE_PER_IM * ims)
+            / (cfg.TRAIN.RPN_BATCH_SIZE_PER_IM * x.shape[0])
         )
         a = t.shape[-1]
         d = deltas[lvl].reshape(deltas[lvl].shape[:-1] + (a, 4))
+        # smooth_l1_loss divides by dim0 = B; the reference's SmoothL1Loss
+        # divides by its per-GPU dim0 = IMS_PER_BATCH and scales 1/NUM_GPUS
         bbox = smooth_l1_loss(
             d,
             batch["rpn_bbox_targets"][lvl],
             batch["rpn_bbox_inside_weights"][lvl],
             batch["rpn_bbox_outside_weights"][lvl],
             beta=1.0 / 9.0,
-            scale=loss_scale,
+            scale=1.0,
         )
         metrics[f"loss_rpn_cls_fpn{lvl}"] = cls
         metrics[f"loss_rpn_bbox_fpn{lvl}"] = bbox
@@ -101,8 +110,15 @@ def fast_rcnn_losses(cfg: Config, cls_score, labels, bbox_pred, bbox_targets,
     With cfg.TRAIN.OHEM (fast_rcnn_heads.py:70-109): per-RoI cls+bbox losses
     rank the RoIs per image, only the hardest TRAIN.OHEM_ROI_PER_IMG keep a
     weight of 1, and the reduced losses use those weights (TPU-static: 0/1
-    weights instead of the reference's label surgery)."""
-    loss_scale = 1.0 / n_groups
+    weights instead of the reference's label surgery).
+
+    Group semantics: the reference computes per-GPU means scaled by
+    1/NUM_GPUS and the allreduce SUMS gradients, so the effective total is
+    the AVERAGE of per-GPU means. cls uses per-group dynamic counts
+    (rows are n_groups consecutive blocks); bbox's SmoothL1Loss denominator
+    is its static dim0, so the batch-global form is exactly equivalent.
+    bbox is additionally scaled by MODEL.BBOX_REG_WEIGHT_SCALE
+    (detector.py GetBBoxLossScale)."""
     logp = jax.nn.log_softmax(cls_score.astype(jnp.float32), axis=-1)
     t = jnp.maximum(labels, 0)
     nll = -jnp.take_along_axis(logp, t[:, None], axis=-1)[:, 0]
@@ -127,11 +143,14 @@ def fast_rcnn_losses(cfg: Config, cls_score, labels, bbox_pred, bbox_targets,
             per_total.reshape(n_images, -1)
         ).reshape(-1)
         keep = keep * live.astype(jnp.float32)
+        # exactly OHEM_ROI_PER_IMG rois keep weight 1 per image, so the
+        # per-group weighted means the reference computes collapse to the
+        # global weighted mean (static equal counts per group)
         n_keep = jnp.maximum(jnp.sum(keep), 1.0)
-        cls_loss = loss_scale * jnp.sum(nll * keep, dtype=jnp.float32) / n_keep
+        cls_loss = jnp.sum(nll * keep, dtype=jnp.float32) / n_keep
         bbox_loss = smooth_l1_loss(
             bbox_pred, bbox_targets, inside_w, outside_w * keep[:, None],
-            beta=1.0, scale=loss_scale,
+            beta=1.0, scale=cfg.MODEL.BBOX_REG_WEIGHT_SCALE,
         )
         accuracy = jnp.sum(
             ((jnp.argmax(cls_score, -1) == labels) & valid).astype(jnp.float32)
@@ -142,14 +161,20 @@ def fast_rcnn_losses(cfg: Config, cls_score, labels, bbox_pred, bbox_targets,
             "accuracy_cls": accuracy,
         }
 
-    n_valid = jnp.maximum(jnp.sum(live.astype(jnp.float32)), 1.0)
-    cls_loss = loss_scale * jnp.sum(nll, dtype=jnp.float32) / n_valid
+    live_f = live.astype(jnp.float32)
+    n_valid = jnp.maximum(jnp.sum(live_f), 1.0)
+    # per-group mean (nll is already zeroed at non-live rows), then average
+    # over groups — the reference's Σ_g (1/G)·mean_g exactly
+    sum_g = jnp.sum(nll.reshape(n_groups, -1), axis=1, dtype=jnp.float32)
+    cnt_g = jnp.maximum(jnp.sum(live_f.reshape(n_groups, -1), axis=1), 1.0)
+    cls_loss = jnp.sum(sum_g / cnt_g) / n_groups
 
+    # SmoothL1Loss normalizes by its static dim0, so per-GPU-mean x 1/G
+    # collapses exactly to the batch-global mean over dim0 (R)
     bbox_loss = smooth_l1_loss(
-        bbox_pred, bbox_targets, inside_w, outside_w, beta=1.0, scale=loss_scale
+        bbox_pred, bbox_targets, inside_w, outside_w, beta=1.0,
+        scale=cfg.MODEL.BBOX_REG_WEIGHT_SCALE,
     )
-    # SmoothL1Loss normalizes by dim0 (R); the reference normalizes by the
-    # same R (rois-per-batch), so weights already match.
     accuracy = jnp.sum(
         ((jnp.argmax(cls_score, -1) == labels) & valid).astype(jnp.float32)
     ) / n_valid
@@ -374,9 +399,9 @@ def make_rcnn_train_step(
                     # semantics: mask targets are fg-only).
                     from .mask_keypoint import mask_loss, mask_targets_on_device
 
-                    fg_cap = int(round(
-                        cfg.TRAIN.FG_FRACTION * cfg.TRAIN.BATCH_SIZE_PER_IM
-                    ))
+                    fg_cap = sampled_fg_cap(
+                        cfg.TRAIN.BATCH_SIZE_PER_IM, cfg.TRAIN.FG_FRACTION
+                    )
                     fg_is_fg = sampled["is_fg"][:, :fg_cap].reshape(-1)
                     fg_labels = sampled["labels"][:, :fg_cap].reshape(-1)
                     if ss_share:
@@ -454,8 +479,8 @@ def make_rcnn_train_step(
             # slots carry zero weight in both losses).
             aux_total = jnp.float32(0.0)
             aux_metrics = {}
-            fg_cap = int(
-                round(cfg.TRAIN.FG_FRACTION * cfg.TRAIN.BATCH_SIZE_PER_IM)
+            fg_cap = sampled_fg_cap(
+                cfg.TRAIN.BATCH_SIZE_PER_IM, cfg.TRAIN.FG_FRACTION
             )
             need_aux = (
                 (cfg.MODEL.MASK_ON and "gt_mask_rasters" in batch)
@@ -533,7 +558,7 @@ def make_rcnn_train_step(
                     cfg, klogits,
                     hl.reshape(-1, hl.shape[-1]),
                     hv.reshape(-1, hv.shape[-1]),
-                    fg_is_fg, G,
+                    fg_is_fg, G, n_images=b,
                 )
                 aux_total = aux_total + kl
                 aux_metrics["loss_kps"] = kl

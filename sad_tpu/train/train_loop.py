@@ -124,6 +124,13 @@ def train_model(
             # zips TRAIN.DATASETS with TRAIN.PROPOSAL_FILES)
             from sad_tpu.eval.rpn_generator import add_proposals_to_roidb
 
+            if len(cfg.TRAIN.PROPOSAL_FILES) != len(cfg.TRAIN.DATASETS):
+                raise ValueError(
+                    "TRAIN.PROPOSAL_FILES must pair 1:1 with TRAIN.DATASETS "
+                    f"(got {len(cfg.TRAIN.PROPOSAL_FILES)} files for "
+                    f"{len(cfg.TRAIN.DATASETS)} datasets; ref roidb.py "
+                    "combined_roidb_for_training asserts the same)"
+                )
             for dname, pf in zip(
                 cfg.TRAIN.DATASETS, cfg.TRAIN.PROPOSAL_FILES
             ):

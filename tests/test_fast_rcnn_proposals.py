@@ -184,6 +184,9 @@ class TestEngineAndLoop:
         register_dataset(
             "fast_prop_synth", str(img_dir), str(ann_file), allow_override=True
         )
+        register_dataset(
+            "fast_prop_other", str(img_dir), str(ann_file), allow_override=True
+        )
         # selective-search style proposal file {'ids','boxes','scores'}
         boxes = [
             np.asarray(
@@ -221,3 +224,39 @@ class TestEngineAndLoop:
         params = init_model_params(model, jax.random.PRNGKey(0), (1, 64, 128, 3))
         results = test_net_on_dataset(cfg, model, params, batch_size=2)
         assert "AP" in results  # random weights: AP 0.0 is fine
+
+        # evaluating a dataset with no matching TEST.DATASETS entry must
+        # refuse (a wrong proposal file silently yields zero proposals)
+        with pytest.raises(ValueError, match="not in"):
+            test_net_on_dataset(
+                cfg, model, params, dataset_name="fast_prop_other",
+                batch_size=2,
+            )
+
+        # TTA passes must thread (flipped) proposals through too — this
+        # crashed before proposals were wired into the bbox-aug pass
+        cfg_aug = merge_cfg_from_dict(
+            cfg, {"TEST": {"BBOX_AUG": {"ENABLED": True, "H_FLIP": True}}}
+        )
+        results_aug = test_net_on_dataset(cfg_aug, model, params, batch_size=2)
+        assert "AP" in results_aug
+
+
+class TestPadProposals:
+    def test_hflip_mirrors_on_raw_width(self):
+        from sad_tpu.data.rpn_minibatch import pad_proposals
+
+        entries = [{
+            "width": 100, "height": 60,
+            "proposal_boxes": np.asarray([[10, 5, 29, 25]], np.float32),
+        }]
+        props, valid = pad_proposals(entries, 4, [2.0], hflip=True)
+        # x1' = w - x2 - 1 = 70, x2' = w - x1 - 1 = 89, then x im_scale
+        np.testing.assert_allclose(props[0, 0], [140.0, 10.0, 178.0, 50.0])
+        assert valid[0].tolist() == [True, False, False, False]
+        # double flip = identity
+        back, _ = pad_proposals(
+            [dict(entries[0], proposal_boxes=props[0, :1] / 2.0)],
+            4, [1.0], hflip=True,
+        )
+        np.testing.assert_allclose(back[0, 0], entries[0]["proposal_boxes"][0])

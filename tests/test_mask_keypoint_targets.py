@@ -114,7 +114,12 @@ class TestKeypointLossNormalization:
         valid = jnp.asarray(rng.rand(r, k) > 0.5)
         is_fg = jnp.asarray([True] * 4 + [False] * 4)
 
-        loss = float(keypoint_loss(cfg, logits, labels, valid, is_fg, 1))
+        # the fixed denominator is per-IMAGE (IMS*BATCH_SIZE_PER_IM*FG*K),
+        # independent of how many roi rows reach the head
+        n_images = 2
+        loss = float(
+            keypoint_loss(cfg, logits, labels, valid, is_fg, 1, n_images)
+        )
 
         flat = np.asarray(logits).reshape(r, s * s, k).transpose(0, 2, 1)
         logp = np.asarray(jax.nn.log_softmax(jnp.asarray(flat), axis=-1))
@@ -124,9 +129,14 @@ class TestKeypointLossNormalization:
         w = np.asarray(valid) & np.asarray(is_fg)[:, None]
         expect = (
             cfg.KRCNN.LOSS_WEIGHT * (nll * w).sum()
-            / (r * cfg.TRAIN.FG_FRACTION * k)
+            / (n_images * cfg.TRAIN.BATCH_SIZE_PER_IM
+               * cfg.TRAIN.FG_FRACTION * k)
         )
         assert loss == pytest.approx(expect, rel=1e-5)
+
+        # omitting n_images on this branch is an error, not a silent guess
+        with pytest.raises(ValueError):
+            keypoint_loss(cfg, logits, labels, valid, is_fg, 1)
 
         # visible-normalized variant (the default) divides by visible count
         cfg_v = Config()
@@ -135,6 +145,48 @@ class TestKeypointLossNormalization:
             cfg.KRCNN.LOSS_WEIGHT * (nll * w).sum() / max(w.sum(), 1),
             rel=1e-5,
         )
+
+    def test_group_semantics_average_per_group_means(self):
+        """n_groups>1 reproduces the reference's allreduce-sum of per-GPU
+        1/G-scaled losses: the average of per-group values."""
+        cfg = Config()
+        rng = np.random.RandomState(2)
+        r, s, k = 8, 4, cfg.KRCNN.NUM_KEYPOINTS
+        logits = jnp.asarray(rng.randn(r, s, s, k), jnp.float32)
+        labels = jnp.asarray(rng.randint(0, s * s, (r, k)), jnp.int32)
+        # unequal visible counts per group — the case a global mean gets wrong
+        valid = jnp.asarray(rng.rand(r, k) > np.linspace(0.1, 0.9, r)[:, None])
+        is_fg = jnp.ones(r, bool)
+        whole = float(keypoint_loss(cfg, logits, labels, valid, is_fg, 2))
+        halves = [
+            float(keypoint_loss(
+                cfg, logits[i:i + 4], labels[i:i + 4], valid[i:i + 4],
+                is_fg[i:i + 4], 1,
+            ))
+            for i in (0, 4)
+        ]
+        assert whole == pytest.approx(sum(halves) / 2, rel=1e-5)
+
+    def test_mask_loss_group_semantics(self):
+        from sad_tpu.train.mask_keypoint import mask_loss
+
+        cfg = merge_cfg_from_dict(Config(), {"MODEL": {"NUM_CLASSES": 3}})
+        rng = np.random.RandomState(3)
+        r, m = 8, 8
+        logits = jnp.asarray(rng.randn(r, m, m, 3), jnp.float32)
+        targets = jnp.asarray(rng.rand(r, m, m) < 0.5, jnp.float32)
+        labels = jnp.asarray(rng.randint(1, 3, r), jnp.int32)
+        # unequal fg counts per group
+        is_fg = jnp.asarray([True] * 4 + [True, False, False, False])
+        whole = float(mask_loss(cfg, logits, targets, labels, is_fg, 2))
+        halves = [
+            float(mask_loss(
+                cfg, logits[i:i + 4], targets[i:i + 4], labels[i:i + 4],
+                is_fg[i:i + 4], 1,
+            ))
+            for i in (0, 4)
+        ]
+        assert whole == pytest.approx(sum(halves) / 2, rel=1e-5)
 
 
 class TestKeypointMinibatchGate:

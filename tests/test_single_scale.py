@@ -363,3 +363,35 @@ class TestOHEMTraining:
         )
         # without OHEM the two easy rois dilute the mean to ~half
         assert float(m_off["loss_cls"]) == pytest.approx(5.0, rel=0.01)
+
+    def test_fast_rcnn_losses_group_semantics(self):
+        """n_groups>1 = average of per-group losses (the reference's
+        allreduce-sum of per-GPU 1/G-scaled means), with no extra 1/G."""
+        from sad_tpu.config import Config
+        from sad_tpu.train.rcnn_train import fast_rcnn_losses
+
+        cfg = Config()
+        rng = np.random.RandomState(0)
+        r, c = 8, 3
+        cls = jnp.asarray(rng.randn(r, c), jnp.float32)
+        labels = jnp.asarray(rng.randint(0, c, r), jnp.int32)
+        pred = jnp.asarray(rng.randn(r, 4 * c), jnp.float32)
+        tgt = jnp.asarray(rng.randn(r, 4 * c), jnp.float32)
+        w = jnp.asarray(rng.rand(r, 4 * c) < 0.5, jnp.float32)
+        # unequal live counts per group
+        valid = jnp.asarray([True] * 4 + [True, True, False, False])
+        whole, _ = fast_rcnn_losses(
+            cfg, cls, labels, pred, tgt, w, w, valid, 2
+        )
+        halves = [
+            fast_rcnn_losses(
+                cfg, cls[i:i + 4], labels[i:i + 4], pred[i:i + 4],
+                tgt[i:i + 4], w[i:i + 4], w[i:i + 4], valid[i:i + 4], 1,
+            )[0]
+            for i in (0, 4)
+        ]
+        # bbox normalizes by static dim0 (4 per half vs 8 whole): halves
+        # normalize by 4, whole by 8 — average of halves matches exactly
+        assert float(whole) == pytest.approx(
+            (float(halves[0]) + float(halves[1])) / 2, rel=1e-5
+        )

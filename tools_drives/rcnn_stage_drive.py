@@ -40,6 +40,7 @@ def main():
         nms_levels_batched,
         proposal_candidates,
         sample_proposal_labels,
+        sampled_fg_cap,
     )
     from sad_tpu.train.rcnn_train import fast_rcnn_losses, rpn_losses
 
@@ -215,8 +216,8 @@ def main():
             mask_loss, mask_targets_on_device,
         )
 
-        fg_cap = int(
-            round(cfg.TRAIN.FG_FRACTION * cfg.TRAIN.BATCH_SIZE_PER_IM)
+        fg_cap = sampled_fg_cap(
+            cfg.TRAIN.BATCH_SIZE_PER_IM, cfg.TRAIN.FG_FRACTION
         )
         fg_rois = sampled["rois"][:, :fg_cap]
         fg_is_fg = sampled["is_fg"][:, :fg_cap].reshape(-1)
