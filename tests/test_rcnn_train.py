@@ -121,6 +121,57 @@ class TestRCNNTrainStep:
         assert moved
 
 
+class TestRCNNMeshStep:
+    def test_step_over_8_device_mesh(self, tiny_rcnn):
+        """The R-CNN step jits and runs over the 8-device data mesh with
+        n_groups=8 (one image per group) — the multi-chip configuration
+        train_loop builds (n_groups=NUM_GPUS, batch sharded on 'data')."""
+        from sad_tpu.data.rpn_minibatch import add_rpn_blobs_to_batch
+        from sad_tpu.parallel import create_mesh
+        from sad_tpu.parallel.mesh import (
+            replicated_sharding,
+            shard_batch_tree,
+        )
+        from sad_tpu.train import TrainState, init_momentum_state
+        from sad_tpu.train.rcnn_train import make_rcnn_train_step
+
+        cfg, model, params = tiny_rcnn
+        rng = np.random.RandomState(3)
+        b, h, w = 8, 64, 64
+        batch = {
+            "data": rng.randn(b, h, w, 3).astype(np.float32),
+            "im_hw": np.tile(np.float32([64, 64]), (b, 1)),
+        }
+        entries = [
+            {
+                "boxes": np.asarray(
+                    [[8, 8, 40, 40], [20, 20, 60, 56]], np.float32
+                ),
+                "gt_classes": np.asarray([1, 3], np.int32),
+                "is_crowd": np.zeros(2, bool),
+            }
+            for _ in range(b)
+        ]
+        add_rpn_blobs_to_batch(cfg, batch, entries, (h, w), np.ones(b), seed=3)
+        batch = jax.tree_util.tree_map(jnp.asarray, batch)
+
+        mesh = create_mesh()
+        assert mesh.devices.size == 8
+        batch_sh = shard_batch_tree(batch, mesh)
+        rep = replicated_sharding(mesh)
+        params_r = jax.device_put(params, rep)
+        state = TrainState(
+            params_r,
+            jax.device_put(init_momentum_state(params_r).velocity, rep),
+        )
+        step = jax.jit(make_rcnn_train_step(cfg, model, n_groups=8))
+        new_state, metrics = step(
+            state, batch_sh, jnp.float32(1e-4), jax.random.PRNGKey(4)
+        )
+        assert np.isfinite(float(metrics["loss"]))
+        assert np.isfinite(float(metrics["loss_cls"]))
+
+
 class TestRCNNInference:
     def test_decode_shapes_and_masks(self, tiny_rcnn):
         cfg, model, params = tiny_rcnn
