@@ -81,27 +81,72 @@ def generate_rpn_on_dataset(
     return out
 
 
+def _crowd_ioa(boxes: np.ndarray, crowd_boxes: np.ndarray) -> np.ndarray:
+    """Max intersection-over-proposal-area vs any crowd region — the
+    COCOmask.iou(..., iscrowd=1) semantics used by json_dataset.py
+    _filter_crowd_proposals."""
+    areas = np.maximum(
+        (boxes[:, 2] - boxes[:, 0] + 1) * (boxes[:, 3] - boxes[:, 1] + 1),
+        1.0,
+    )
+    out = np.zeros(len(boxes), np.float32)
+    for cb in crowd_boxes:
+        iw = np.maximum(
+            np.minimum(boxes[:, 2], cb[2]) - np.maximum(boxes[:, 0], cb[0])
+            + 1, 0,
+        )
+        ih = np.maximum(
+            np.minimum(boxes[:, 3], cb[3]) - np.maximum(boxes[:, 1], cb[1])
+            + 1, 0,
+        )
+        out = np.maximum(out, iw * ih / areas)
+    return out
+
+
 def add_proposals_to_roidb(
-    roidb: List[dict], proposal_file: str, top_k: int = -1
+    roidb: List[dict],
+    proposal_file: str,
+    top_k: int = -1,
+    crowd_thresh: float = 0.0,
+    min_size: float = 2.0,
 ) -> None:
     """Attach precomputed proposals to roidb entries
-    (ref: json_dataset.py get_roidb proposal_file path + _merge_proposal_boxes).
-    Entries gain a 'proposal_boxes' array."""
+    (ref: json_dataset.py _add_proposals_from_file: clip to image, dedup,
+    drop boxes smaller than min_size, take top_k, then exclude proposals
+    inside crowd regions when crowd_thresh > 0 — the reference marks them
+    overlap=-1 so they are sampled as neither fg nor bg; dropping them here
+    has the same training effect). Entries gain a 'proposal_boxes' array."""
     with open(proposal_file, "rb") as f:
         props = pickle.load(f, encoding="latin1")
-    by_id = {i: k for k, i in enumerate(props["ids"])}
+    id_field = "indexes" if "indexes" in props else "ids"
+    by_id = {i: k for k, i in enumerate(props[id_field])}
     for e in roidb:
         k = by_id.get(e["id"])
-        boxes = (
-            props["boxes"][k]
-            if k is not None
-            else np.zeros((0, 4), np.float32)
-        )
+        boxes = np.asarray(
+            props["boxes"][k] if k is not None else np.zeros((0, 4)),
+            np.float32,
+        ).copy()
+        if len(boxes):
+            # clip to image (boxes.py clip_boxes_to_image)
+            boxes[:, [0, 2]] = np.clip(boxes[:, [0, 2]], 0, e["width"] - 1.0)
+            boxes[:, [1, 3]] = np.clip(boxes[:, [1, 3]], 0, e["height"] - 1.0)
+            # dedup (boxes.py unique_boxes hash) + min-size filter
+            v = np.array([1, 1e3, 1e6, 1e9])
+            _, uniq = np.unique(np.round(boxes).dot(v), return_index=True)
+            boxes = boxes[np.sort(uniq)]
+            wh = boxes[:, 2:] - boxes[:, :2] + 1.0
+            boxes = boxes[(wh[:, 0] >= min_size) & (wh[:, 1] >= min_size)]
         if top_k > 0:
             boxes = boxes[:top_k]
+        if crowd_thresh > 0 and len(boxes) and "is_crowd" in e:
+            crowd = e["boxes"][np.asarray(e["is_crowd"], bool)]
+            if len(crowd):
+                boxes = boxes[
+                    _crowd_ioa(boxes, crowd.astype(np.float32))
+                    <= crowd_thresh
+                ]
         if e.get("flipped"):
             w = e["width"]
-            boxes = boxes.copy()
             x1 = boxes[:, 0].copy()
             x2 = boxes[:, 2].copy()
             boxes[:, 0] = w - x2 - 1

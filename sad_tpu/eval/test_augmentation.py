@@ -184,23 +184,26 @@ def aux_aug_transforms(aug, cfg: Config) -> List[Dict]:
     im_detect_mask_aug:410-478 / im_detect_keypoints_aug:582-665; the
     identity pass is the base inference and not listed).
 
-    Aspect-ratio transforms and size-dependent combining are not supported
-    (static TPU canvases; the reference itself asserts SCALE_SIZE_DEP out).
+    Aspect-ratio transforms are not supported (static TPU canvases).
+    Each transform is tagged ds/us (computed at a lower/higher scale than
+    TEST.SCALES[0]) for size-dependent combining (test.py:616-623).
     """
-    if aug.SCALE_SIZE_DEP:
-        raise NotImplementedError("Size dependent scaling not implemented")
     if aug.ASPECT_RATIOS:
         raise NotImplementedError(
             "aspect-ratio TTA not supported on static canvases"
         )
+    base = cfg.TEST.SCALES[0]
     t: List[Dict] = []
     if aug.H_FLIP:
-        t.append({"scale": cfg.TEST.SCALES[0], "max_size": cfg.TEST.MAX_SIZE,
-                  "hflip": True})
+        t.append({"scale": base, "max_size": cfg.TEST.MAX_SIZE,
+                  "hflip": True, "ds": False, "us": False})
     for s in aug.SCALES:
-        t.append({"scale": s, "max_size": aug.MAX_SIZE, "hflip": False})
+        tags = {"ds": s < base, "us": s > base}
+        t.append({"scale": s, "max_size": aug.MAX_SIZE, "hflip": False,
+                  **tags})
         if aug.SCALE_H_FLIP:
-            t.append({"scale": s, "max_size": aug.MAX_SIZE, "hflip": True})
+            t.append({"scale": s, "max_size": aug.MAX_SIZE, "hflip": True,
+                      **tags})
     return t
 
 
@@ -227,6 +230,33 @@ def combine_heatmaps(stack: List[np.ndarray], heur: str) -> np.ndarray:
     if heur == "HM_MAX":
         return a.max(axis=0)
     raise NotImplementedError(f"Heuristic {heur} not supported")
+
+
+def combine_heatmaps_size_dep(
+    stack: List[np.ndarray],  # per-transform (B, R, S, S, K) heatmaps
+    ds: List[bool],  # per-transform downscaled flags
+    us: List[bool],  # per-transform upscaled flags
+    boxes: np.ndarray,  # (B, R, 4) rois in image coords
+    heur: str,
+    area_th: float,
+) -> np.ndarray:
+    """Size-dependent heatmap combining (ref: test.py
+    combine_heatmaps_size_dep:726-751): small/medium objects
+    (area < KPS_AUG.AREA_TH) discard downscaled passes, large objects
+    discard upscaled passes. Only two per-roi subsets exist, so combine
+    each once and select per roi."""
+    small = combine_heatmaps(
+        [h for h, d in zip(stack, ds) if not d], heur
+    )
+    large = combine_heatmaps(
+        [h for h, u in zip(stack, us) if not u], heur
+    )
+    areas = (
+        (boxes[..., 2] - boxes[..., 0] + 1)
+        * (boxes[..., 3] - boxes[..., 1] + 1)
+    )
+    sm = areas < area_th  # (B, R)
+    return np.where(sm[..., None, None, None], small, large)
 
 
 def flip_mask_probs(mask_prob: np.ndarray) -> np.ndarray:

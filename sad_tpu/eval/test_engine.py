@@ -332,6 +332,11 @@ def run_inference_on_roidb(
                     if "kps_heatmaps" in aux0:
                         kps_heatmaps = np.asarray(aux0["kps_heatmaps"])
             if mask_aug and mask_prob is not None:
+                if cfg.TEST.MASK_AUG.SCALE_SIZE_DEP:
+                    # the reference asserts this out too (test.py:421)
+                    raise NotImplementedError(
+                        "Size dependent scaling not implemented for masks"
+                    )
                 stacks = [mask_prob]
                 for t in aux_aug_transforms(cfg.TEST.MASK_AUG, cfg):
                     host_t = prepare_test_batch(
@@ -359,6 +364,7 @@ def run_inference_on_roidb(
                 mask_prob = combine_soft_masks(stacks, cfg.TEST.MASK_AUG.HEUR)
             if kps_aug and kps_heatmaps is not None:
                 stacks = [kps_heatmaps]
+                ds_flags, us_flags = [False], [False]  # identity pass
                 for t in aux_aug_transforms(cfg.TEST.KPS_AUG, cfg):
                     host_t = prepare_test_batch(
                         cfg, batch_entries, canvas,
@@ -382,13 +388,46 @@ def run_inference_on_roidb(
                     )
                     hm = np.asarray(o["kps_heatmaps"])
                     stacks.append(flip_heatmaps(hm) if t["hflip"] else hm)
-                kps_heatmaps = combine_heatmaps(stacks, cfg.TEST.KPS_AUG.HEUR)
+                    ds_flags.append(bool(t["ds"]))
+                    us_flags.append(bool(t["us"]))
+                if cfg.TEST.KPS_AUG.SCALE_SIZE_DEP:
+                    from .test_augmentation import combine_heatmaps_size_dep
+
+                    kps_heatmaps = combine_heatmaps_size_dep(
+                        stacks, ds_flags, us_flags, boxes,
+                        cfg.TEST.KPS_AUG.HEUR, cfg.TEST.KPS_AUG.AREA_TH,
+                    )
+                else:
+                    kps_heatmaps = combine_heatmaps(
+                        stacks, cfg.TEST.KPS_AUG.HEUR
+                    )
             timer.toc()
             for j, e in enumerate(chunk):
+                kp_xy = {}
+                kp_keep = None
+                if kps_heatmaps is not None:
+                    # decode all kept rois at once; optional OKS-NMS over
+                    # them (test.py keypoint_results + KRCNN.NMS_OKS)
+                    from sad_tpu.utils.keypoints import (
+                        heatmaps_to_keypoints,
+                        nms_oks,
+                    )
+
+                    vidx = [k for k, v in enumerate(valid[j]) if v]
+                    if vidx:
+                        xy_all = heatmaps_to_keypoints(
+                            kps_heatmaps[j][vidx], boxes[j][vidx]
+                        )
+                        kp_xy = dict(zip(vidx, xy_all))
+                        if cfg.KRCNN.NMS_OKS:
+                            keep = nms_oks(xy_all, boxes[j][vidx], 0.3)
+                            kp_keep = {vidx[q] for q in keep}
                 for k, (b, s, c, v) in enumerate(
                     zip(boxes[j], scores[j], classes[j], valid[j])
                 ):
                     if not v:
+                        continue
+                    if kp_keep is not None and k not in kp_keep:
                         continue
                     x1, y1, x2, y2 = (float(t) for t in b)
                     det = {
@@ -399,17 +438,24 @@ def run_inference_on_roidb(
                         "score": float(s),
                     }
                     if kps_heatmaps is not None:
-                        # decode heatmaps -> COCO keypoints triplets
-                        # (keypoint_results, test.py + utils/keypoints.py)
-                        from sad_tpu.utils.keypoints import heatmaps_to_keypoints
-
-                        xy = heatmaps_to_keypoints(
-                            kps_heatmaps[j, k : k + 1], np.asarray([b])
-                        )[0]
+                        # COCO keypoints triplets + result score per
+                        # KRCNN.KEYPOINT_CONFIDENCE (json_dataset_evaluator
+                        # _coco_kp_results_one_category:376-409)
+                        xy = kp_xy[k]
                         trip = []
                         for ki in range(xy.shape[1]):
-                            trip += [float(xy[0, ki]), float(xy[1, ki]), 2]
+                            trip += [float(xy[0, ki]), float(xy[1, ki]), 1]
                         det["keypoints"] = trip
+                        conf = cfg.KRCNN.KEYPOINT_CONFIDENCE
+                        if conf == "logit":
+                            det["score"] = float(xy[2].mean())
+                        elif conf == "prob":
+                            det["score"] = float(xy[3].mean())
+                        elif conf != "bbox":
+                            raise ValueError(
+                                "KRCNN.KEYPOINT_CONFIDENCE must be "
+                                f"'logit', 'prob', or 'bbox'; got {conf!r}"
+                            )
                     if mask_prob is not None:
                         # paste the roi-frame mask into the image frame and
                         # RLE-encode (segm_results, test.py + segms utils)
@@ -510,6 +556,17 @@ def test_net_on_dataset(
         from .vid_eval import evaluate_vid_detections
 
         return evaluate_vid_detections(ds.dataset, dets)
+    if name.startswith("voc_") and not cfg.TEST.FORCE_JSON_DATASET_EVAL:
+        # official VOC protocol for voc_* datasets; 11-point AP before 2010
+        # (ref: task_evaluation.py _use_json_dataset_evaluator +
+        # voc_dataset_evaluator.py)
+        from .voc_eval import voc_eval_boxes
+
+        year = name.split("_")[1]
+        return voc_eval_boxes(
+            ds.dataset, dets,
+            use_07_metric=year.isdigit() and int(year) < 2010,
+        )
     results = COCOEvaluator(ds.dataset).evaluate(dets, verbose=True)
     if cfg.MODEL.MASK_ON and dets and "segmentation" in dets[0]:
         segm = COCOEvaluator(ds.dataset, iou_type="segm").evaluate(

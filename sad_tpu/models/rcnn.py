@@ -106,19 +106,31 @@ class MaskHead(nn.Module):
     num_convs: int = 4
     use_fc_output: bool = False
     resolution: int = 28
+    conv_init: str = "GaussianFill"
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, roi_feats: jnp.ndarray):  # (R, res, res, C)
         x = roi_feats.astype(self.dtype)
         gauss = nn.initializers.normal(0.001)
+        # MRCNN.CONV_INIT (mask_rcnn_heads.py:150/165/207: std 0.001 for
+        # gauss; MSRAFill = Caffe2 filler_op.h normal sqrt(2/fan_out))
+        if self.conv_init == "MSRAFill":
+            conv_w = nn.initializers.variance_scaling(
+                2.0, "fan_out", "normal"
+            )
+        elif self.conv_init == "GaussianFill":
+            conv_w = gauss
+        else:
+            raise ValueError(f"Unknown MRCNN.CONV_INIT: {self.conv_init!r}")
         for i in range(self.num_convs):
             x = nn.relu(
                 _conv(f"_[mask]_fcn{i + 1}", self.dim, 3, 1, use_bias=True,
-                      dtype=self.dtype, kernel_init=gauss)(x)
+                      dtype=self.dtype, kernel_init=conv_w)(x)
             )
         out_dim = self.num_classes if self.cls_specific else 1
         if self.use_fc_output:
+            # FC output always uses gauss 0.001 (mask_rcnn_heads.py:52-60)
             r = x.shape[0]
             flat = x.reshape(r, -1)
             m = self.resolution
@@ -130,39 +142,62 @@ class MaskHead(nn.Module):
         x = nn.relu(
             nn.ConvTranspose(
                 self.dim, (2, 2), strides=(2, 2), dtype=self.dtype,
-                param_dtype=jnp.float32, kernel_init=gauss, name="conv5_mask",
+                param_dtype=jnp.float32, kernel_init=conv_w,
+                name="conv5_mask",
             )(x)
         )
+        # class-agnostic logits keep GaussianFill: fan-in fills "can be too
+        # large in this case and cause divergence" (mask_rcnn_heads.py:63-66)
+        logits_w = conv_w if self.cls_specific else gauss
         return _conv(
             "mask_fcn_logits", out_dim, 1, 1, use_bias=True,
-            dtype=self.dtype, kernel_init=gauss,
+            dtype=self.dtype, kernel_init=logits_w,
         )(x).astype(jnp.float32)
 
 
 class KeypointHead(nn.Module):
     """add_roi_pose_head_v1convX + deconv output (ref:
-    keypoint_rcnn_heads.py): 8x conv 3x3 -> deconv 2x (-> optional 2x
-    upsample) -> per-keypoint heatmap logits."""
+    keypoint_rcnn_heads.py): NUM_STACKED_CONVS x conv CONV_HEAD_KERNEL ->
+    deconv 2x (-> optional 2x upsample) -> per-keypoint heatmap logits.
+
+    conv_init mirrors KRCNN.CONV_INIT: 'GaussianFill' (std 0.01 convs /
+    0.001 output, keypoint_rcnn_heads.py:210/83) or 'MSRAFill' (Caffe2
+    filler_op.h:462-475: normal with std sqrt(2/fan_out),
+    fan_out = out_channels * receptive field — jax variance_scaling
+    (2.0, 'fan_out', 'normal'))."""
 
     dim: int
     num_keypoints: int
     num_convs: int = 8
     up_scale: int = 2
     use_deconv_output: bool = True
+    conv_init: str = "GaussianFill"
+    kernel: int = 3
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, roi_feats: jnp.ndarray):
         x = roi_feats.astype(self.dtype)
-        gauss = nn.initializers.normal(0.01)
+        if self.conv_init == "MSRAFill":
+            conv_w = out_w = nn.initializers.variance_scaling(
+                2.0, "fan_out", "normal"
+            )
+        elif self.conv_init == "GaussianFill":
+            conv_w = nn.initializers.normal(0.01)
+            out_w = nn.initializers.normal(0.001)
+        else:
+            raise ValueError(
+                f"Unknown KRCNN.CONV_INIT: {self.conv_init!r}"
+            )
         for i in range(self.num_convs):
             x = nn.relu(
-                _conv(f"conv_fcn{i + 1}", self.dim, 3, 1, use_bias=True,
-                      dtype=self.dtype, kernel_init=gauss)(x)
+                _conv(f"conv_fcn{i + 1}", self.dim, self.kernel, 1,
+                      use_bias=True, dtype=self.dtype, kernel_init=conv_w)(x)
             )
         x = nn.ConvTranspose(
             self.num_keypoints, (4, 4), strides=(2, 2), dtype=self.dtype,
-            param_dtype=jnp.float32, kernel_init=gauss, name="kps_score_lowres",
+            param_dtype=jnp.float32, kernel_init=out_w,
+            name="kps_score_lowres",
         )(x)
         if self.use_deconv_output and self.up_scale > 1:
             n, h, w, c = x.shape
@@ -210,6 +245,7 @@ class GeneralizedRCNN(nn.Module):
                 num_convs=n_convs,
                 use_fc_output=cfg.MRCNN.USE_FC_OUTPUT,
                 resolution=cfg.MRCNN.RESOLUTION,
+                conv_init=cfg.MRCNN.CONV_INIT,
                 dtype=jnp.dtype(self.arch.compute_dtype), name="mask_head",
             )
         if cfg.MODEL.KEYPOINTS_ON:
@@ -217,6 +253,8 @@ class GeneralizedRCNN(nn.Module):
                 cfg.KRCNN.CONV_HEAD_DIM, cfg.KRCNN.NUM_KEYPOINTS,
                 cfg.KRCNN.NUM_STACKED_CONVS, cfg.KRCNN.UP_SCALE,
                 cfg.KRCNN.USE_DECONV_OUTPUT,
+                conv_init=cfg.KRCNN.CONV_INIT,
+                kernel=cfg.KRCNN.CONV_HEAD_KERNEL,
                 dtype=jnp.dtype(self.arch.compute_dtype), name="kps_head",
             )
 

@@ -137,21 +137,33 @@ class MaskV0UpOutput(nn.Module):
     dim_reduced: int
     num_classes: int
     cls_specific: bool = True
+    conv_init: str = "GaussianFill"
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, res5_feats: jnp.ndarray):  # (R, r, r, 2048)
         gauss = nn.initializers.normal(0.001)
+        if self.conv_init == "MSRAFill":
+            conv_w = nn.initializers.variance_scaling(
+                2.0, "fan_out", "normal"
+            )
+        elif self.conv_init == "GaussianFill":
+            conv_w = gauss
+        else:
+            raise ValueError(f"Unknown MRCNN.CONV_INIT: {self.conv_init!r}")
         x = nn.relu(
             nn.ConvTranspose(
                 self.dim_reduced, (2, 2), strides=(2, 2), dtype=self.dtype,
-                param_dtype=jnp.float32, kernel_init=gauss, name="conv5_mask",
+                param_dtype=jnp.float32, kernel_init=conv_w,
+                name="conv5_mask",
             )(res5_feats.astype(self.dtype))
         )
         out_dim = self.num_classes if self.cls_specific else 1
+        # class-agnostic logits keep GaussianFill (mask_rcnn_heads.py:63-66)
+        logits_w = conv_w if self.cls_specific else gauss
         return _conv(
             "mask_fcn_logits", out_dim, 1, 1, use_bias=True,
-            dtype=self.dtype, kernel_init=gauss,
+            dtype=self.dtype, kernel_init=logits_w,
         )(x).astype(jnp.float32)
 
 
@@ -219,7 +231,9 @@ class SingleScaleRCNN(nn.Module):
                     )
                 self.mask_out = MaskV0UpOutput(
                     cfg.MRCNN.DIM_REDUCED, cfg.MODEL.NUM_CLASSES,
-                    cfg.MRCNN.CLS_SPECIFIC_MASK, dtype=dtype, name="mask_out",
+                    cfg.MRCNN.CLS_SPECIFIC_MASK,
+                    conv_init=cfg.MRCNN.CONV_INIT, dtype=dtype,
+                    name="mask_out",
                 )
         else:
             self.fc6 = nn.Dense(4096, dtype=dtype, param_dtype=jnp.float32,

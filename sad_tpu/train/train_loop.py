@@ -137,7 +137,9 @@ def train_model(
                 sub = [
                     e for e in roidb if e.get("dataset_name") == dname
                 ]
-                add_proposals_to_roidb(sub, pf)
+                add_proposals_to_roidb(
+                    sub, pf, crowd_thresh=cfg.TRAIN.CROWD_FILTER_THRESH
+                )
         unlabeled = None
         if distill and cfg.DISTILLATION.UNLABEL_DISTILLATION:
             unlabeled = combined_roidb_for_training(

@@ -71,3 +71,53 @@ def heatmaps_to_keypoints(
         prob = (e / e.sum(axis=0, keepdims=True))[pos, np.arange(k)]
         out[i] = np.stack([x, y, logit, prob])
     return out
+
+
+# COCO 17-keypoint OKS sigmas (ref: keypoints.py compute_oks)
+_OKS_SIGMAS = np.array(
+    [.26, .25, .25, .35, .35, .79, .79, .72, .72, .62, .62, 1.07, 1.07,
+     .87, .87, .89, .89], np.float64
+) / 10.0
+
+
+def compute_oks(
+    src_keypoints: np.ndarray,  # (4, K) decoded rows [x, y, logit, prob]
+    src_roi: np.ndarray,  # (4,)
+    dst_keypoints: np.ndarray,  # (N, 4, K)
+    dst_roi: np.ndarray,  # (N, 4)
+) -> np.ndarray:
+    """OKS of each dst prediction wrt src (ref: keypoints.py compute_oks:
+    src-roi area, all keypoints counted, mean of exp terms)."""
+    k = src_keypoints.shape[1]
+    sig = _OKS_SIGMAS if k == 17 else np.full(k, 0.05)
+    vars_ = (sig * 2) ** 2
+    src_area = (
+        (src_roi[2] - src_roi[0] + 1) * (src_roi[3] - src_roi[1] + 1)
+    )
+    dx = dst_keypoints[:, 0, :] - src_keypoints[0, :]
+    dy = dst_keypoints[:, 1, :] - src_keypoints[1, :]
+    e = (dx ** 2 + dy ** 2) / vars_ / (src_area + np.spacing(1)) / 2
+    return np.sum(np.exp(-e), axis=1) / e.shape[1]
+
+
+def nms_oks(
+    kp_predictions: np.ndarray,  # (N, 4, K) heatmaps_to_keypoints rows
+    rois: np.ndarray,  # (N, 4)
+    thresh: float,
+) -> list:
+    """Greedy NMS on keypoint predictions ranked by mean logit
+    (ref: keypoints.py nms_oks; test.py keypoint_results applies it with
+    thresh=0.3 when KRCNN.NMS_OKS)."""
+    scores = np.mean(kp_predictions[:, 2, :], axis=1)
+    order = scores.argsort()[::-1]
+    keep = []
+    while order.size > 0:
+        i = order[0]
+        keep.append(int(i))
+        ovr = compute_oks(
+            kp_predictions[i], rois[i], kp_predictions[order[1:]],
+            rois[order[1:]],
+        )
+        inds = np.where(ovr <= thresh)[0]
+        order = order[inds + 1]
+    return keep

@@ -451,8 +451,129 @@ class TestEngineKpsTTA:
             assert "keypoints" in d
             assert len(d["keypoints"]) == 17 * 3
 
+    def test_combine_heatmaps_size_dep_unit(self):
+        """Small objects drop downscaled passes, large drop upscaled
+        (test.py combine_heatmaps_size_dep:726-751)."""
+        from sad_tpu.eval.test_augmentation import combine_heatmaps_size_dep
 
-class TestMeshInference:
+        b, r, s, k = 1, 2, 2, 1
+        ident = np.full((b, r, s, s, k), 1.0, np.float32)
+        down = np.full((b, r, s, s, k), 10.0, np.float32)
+        up = np.full((b, r, s, s, k), 100.0, np.float32)
+        boxes = np.asarray(
+            [[[0, 0, 9, 9],         # area 100 < th -> small
+              [0, 0, 299, 299]]],   # area 90000 >= th -> large
+            np.float32,
+        )
+        out = combine_heatmaps_size_dep(
+            [ident, down, up], [False, True, False], [False, False, True],
+            boxes, "HM_AVG", area_th=180.0 ** 2,
+        )
+        # small: avg(ident, up) = 50.5; large: avg(ident, down) = 5.5
+        assert out[0, 0, 0, 0, 0] == pytest.approx(50.5)
+        assert out[0, 1, 0, 0, 0] == pytest.approx(5.5)
+
+    def test_kps_tta_size_dep_runs(self, tmp_path):
+        """KPS_AUG.SCALE_SIZE_DEP=True end-to-end (the reference's
+        test_time_aug keypoint config sets it)."""
+        import dataclasses as dc
+
+        import jax
+        from PIL import Image
+
+        from sad_tpu.eval.test_engine import run_inference_on_roidb
+        from sad_tpu.models import create_model
+        from sad_tpu.models.model_builder import init_model_params
+        from tests.test_rcnn import rcnn_cfg
+
+        cfg = rcnn_cfg(kps=True)
+        cfg = dc.replace(
+            cfg,
+            RESNETS=dc.replace(cfg.RESNETS, CHANNEL_RATIO=0.0625),
+            KRCNN=dc.replace(
+                cfg.KRCNN, NUM_KEYPOINTS=17, CONV_HEAD_DIM=16,
+                NUM_STACKED_CONVS=2,
+            ),
+            TEST=dc.replace(
+                cfg.TEST,
+                SCALES=(48,), MAX_SIZE=64, SCORE_THRESH=0.0,
+                DETECTIONS_PER_IM=4,
+                KPS_AUG=dc.replace(
+                    cfg.TEST.KPS_AUG, ENABLED=True, H_FLIP=True,
+                    SCALES=(32, 56), MAX_SIZE=64, SCALE_SIZE_DEP=True,
+                    AREA_TH=100.0,
+                ),
+            ),
+        )
+        model = create_model(cfg)
+        params = init_model_params(model, jax.random.PRNGKey(0), (1, 64, 64, 3))
+        p = tmp_path / "im.png"
+        Image.fromarray(
+            np.random.RandomState(0).randint(0, 255, (50, 60, 3), np.uint8)
+        ).save(p)
+        roidb = [{"id": 1, "image": str(p), "height": 50, "width": 60}]
+        dets = run_inference_on_roidb(
+            cfg, model, params, roidb, {i: i for i in range(10)},
+            batch_size=1,
+        )
+        for d in dets:
+            assert len(d["keypoints"]) == 17 * 3
+
+    def test_nms_oks_and_keypoint_confidence(self, tmp_path):
+        """KRCNN.NMS_OKS prunes near-duplicate keypoint sets and
+        KEYPOINT_CONFIDENCE='logit' rescores results from the heatmaps
+        (test.py keypoint_results + json_dataset_evaluator:376-409)."""
+        import dataclasses as dc
+
+        import jax
+        from PIL import Image
+
+        from sad_tpu.eval.test_engine import run_inference_on_roidb
+        from sad_tpu.models import create_model
+        from sad_tpu.models.model_builder import init_model_params
+        from tests.test_rcnn import rcnn_cfg
+
+        cfg = rcnn_cfg(kps=True)
+        cfg = dc.replace(
+            cfg,
+            RESNETS=dc.replace(cfg.RESNETS, CHANNEL_RATIO=0.0625),
+            KRCNN=dc.replace(
+                cfg.KRCNN, NUM_KEYPOINTS=17, CONV_HEAD_DIM=16,
+                NUM_STACKED_CONVS=2, NMS_OKS=True,
+                KEYPOINT_CONFIDENCE="logit",
+            ),
+            TEST=dc.replace(
+                cfg.TEST,
+                SCALES=(48,), MAX_SIZE=64, SCORE_THRESH=0.0,
+                DETECTIONS_PER_IM=4,
+            ),
+        )
+        model = create_model(cfg)
+        params = init_model_params(model, jax.random.PRNGKey(0), (1, 64, 64, 3))
+        p = tmp_path / "im.png"
+        Image.fromarray(
+            np.random.RandomState(0).randint(0, 255, (50, 60, 3), np.uint8)
+        ).save(p)
+        roidb = [{"id": 1, "image": str(p), "height": 50, "width": 60}]
+        dets = run_inference_on_roidb(
+            cfg, model, params, roidb, {i: i for i in range(10)},
+            batch_size=1,
+        )
+        base = run_inference_on_roidb(
+            dc.replace(
+                cfg, KRCNN=dc.replace(
+                    cfg.KRCNN, NMS_OKS=False, KEYPOINT_CONFIDENCE="bbox"
+                )
+            ),
+            model, params, roidb, {i: i for i in range(10)}, batch_size=1,
+        )
+        # OKS-NMS can only prune
+        assert len(dets) <= len(base)
+        # random weights: near-uniform heatmaps -> logit mean differs from
+        # the box softmax score
+        for d, b in zip(dets, base):
+            assert "keypoints" in d
+            assert d["score"] != pytest.approx(b["score"])
     def test_batch_sharded_over_data_axis(self, tmp_path):
         """batch_size divisible by device count -> the engine runs the jitted
         decode over an 8-way 'data' mesh (replacing the reference's

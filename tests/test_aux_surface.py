@@ -34,6 +34,38 @@ class TestKeypoints:
         assert out[0, 1, 0] == pytest.approx(45.0)
         assert out[0, 3, 0] > 0.9  # confident peak
 
+    def test_nms_oks_suppresses_duplicates(self):
+        """ref keypoints.py nms_oks: greedy keep by mean-logit order,
+        suppress OKS > thresh."""
+        from sad_tpu.utils.keypoints import compute_oks, nms_oks
+
+        rng = np.random.RandomState(0)
+        k = 17
+        base = np.zeros((4, k), np.float32)
+        base[0] = rng.uniform(20, 80, k)  # x
+        base[1] = rng.uniform(20, 80, k)  # y
+        base[2] = 5.0  # logits
+        dup = base.copy()
+        dup[0] += 0.5  # nearly identical prediction
+        dup[2] = 3.0  # lower confidence
+        far = base.copy()
+        far[0] += 500.0
+        far[1] += 500.0
+        far[2] = 4.0
+        preds = np.stack([dup, base, far])  # unordered on purpose
+        rois = np.asarray(
+            [[10, 10, 90, 90], [10, 10, 90, 90], [510, 510, 590, 590]],
+            np.float32,
+        )
+        # identical prediction has OKS ~1 with itself
+        assert compute_oks(base, rois[1], base[None], rois[1:2])[0] == (
+            pytest.approx(1.0)
+        )
+        keep = nms_oks(preds, rois, 0.3)
+        # highest mean-logit (index 1) kept first, near-dup (0) suppressed,
+        # far prediction (2) kept
+        assert keep == [1, 2]
+
 
 class TestRLE:
     def test_roundtrip(self):
@@ -251,3 +283,45 @@ class TestRLEString:
         assert ev._dt_area(d_poly) == 40.0
         d_bbox = {"bbox": [0, 0, 5, 5]}
         assert ev._dt_area(d_bbox) == 25.0
+
+
+class TestConvInit:
+    def test_msra_fill_matches_caffe2_semantics(self):
+        """KRCNN/MRCNN.CONV_INIT='MSRAFill' = Caffe2 filler_op.h:462-475:
+        normal with std sqrt(2/fan_out), fan_out = out_ch * kh * kw."""
+        import jax
+        import jax.numpy as jnp
+
+        from sad_tpu.models.rcnn import KeypointHead, MaskHead
+
+        head = KeypointHead(
+            64, 17, num_convs=1, conv_init="MSRAFill", kernel=3
+        )
+        p = head.init(jax.random.PRNGKey(0), jnp.zeros((2, 14, 14, 64)))
+        k = p["params"]["conv_fcn1"]["kernel"]  # (3, 3, 64, 64)
+        fan_out = k.shape[-1] * k.shape[0] * k.shape[1]
+        std = float(jnp.std(k))
+        assert std == pytest.approx((2.0 / fan_out) ** 0.5, rel=0.1)
+
+        gauss = KeypointHead(
+            64, 17, num_convs=1, conv_init="GaussianFill", kernel=3
+        )
+        pg = gauss.init(jax.random.PRNGKey(0), jnp.zeros((2, 14, 14, 64)))
+        kg = pg["params"]["conv_fcn1"]["kernel"]
+        assert float(jnp.std(kg)) == pytest.approx(0.01, rel=0.1)
+        # output deconv: gauss std 0.001 (keypoint_rcnn_heads.py:83)
+        dg = pg["params"]["kps_score_lowres"]["kernel"]
+        assert float(jnp.std(dg)) == pytest.approx(0.001, rel=0.1)
+
+        mh = MaskHead(32, 3, num_convs=1, conv_init="MSRAFill")
+        pm = mh.init(jax.random.PRNGKey(0), jnp.zeros((2, 14, 14, 32)))
+        km = pm["params"]["_[mask]_fcn1"]["kernel"]
+        fan_out_m = km.shape[-1] * km.shape[0] * km.shape[1]
+        assert float(jnp.std(km)) == pytest.approx(
+            (2.0 / fan_out_m) ** 0.5, rel=0.1
+        )
+
+        with pytest.raises(ValueError, match="CONV_INIT"):
+            KeypointHead(8, 17, num_convs=1, conv_init="XavierFill").init(
+                jax.random.PRNGKey(0), jnp.zeros((1, 14, 14, 8))
+            )

@@ -242,6 +242,96 @@ class TestEngineAndLoop:
         assert "AP" in results_aug
 
 
+class TestAddProposals:
+    def test_clip_dedup_minsize_crowd(self, tmp_path):
+        """add_proposals_to_roidb mirrors _add_proposals_from_file: clip to
+        image, dedup, min-size filter, crowd exclusion (json_dataset.py)."""
+        from sad_tpu.eval.rpn_generator import add_proposals_to_roidb
+
+        boxes = np.asarray(
+            [
+                [10, 10, 40, 40],     # kept
+                [10, 10, 40, 40],     # duplicate -> dropped
+                [-5, -5, 200, 300],   # clipped to (0,0,99,59)
+                [5, 5, 6, 5],         # 2x1 after +1 extents -> too small
+                [52, 22, 76, 46],     # inside the crowd region -> dropped
+            ],
+            np.float32,
+        )
+        pf = tmp_path / "p.pkl"
+        with open(pf, "wb") as f:
+            pickle.dump({"ids": [7], "boxes": [boxes]}, f)
+        entry = {
+            "id": 7, "width": 100, "height": 60,
+            "boxes": np.asarray(
+                [[10, 10, 40, 40], [50, 20, 80, 50]], np.float32
+            ),
+            "gt_classes": np.asarray([1, 1], np.int32),
+            "is_crowd": np.asarray([False, True]),
+        }
+        add_proposals_to_roidb([entry], str(pf), crowd_thresh=0.7)
+        got = entry["proposal_boxes"]
+        assert got.shape == (2, 4)
+        np.testing.assert_allclose(got[0], [10, 10, 40, 40])
+        np.testing.assert_allclose(got[1], [0, 0, 99, 59])
+
+        # crowd_thresh=0 (eval semantics) keeps the crowd-inside proposal
+        entry2 = dict(entry)
+        add_proposals_to_roidb([entry2], str(pf))
+        assert entry2["proposal_boxes"].shape == (3, 4)
+
+
+class TestVOCDispatch:
+    def test_voc_dataset_routes_to_voc_protocol(self, tmp_path, monkeypatch):
+        """voc_* datasets use the VOC evaluator unless
+        TEST.FORCE_JSON_DATASET_EVAL (ref task_evaluation.py:253)."""
+        import json as _json
+
+        from PIL import Image
+
+        from sad_tpu.config import register_dataset
+        from sad_tpu.config.config import merge_cfg_from_dict
+        from sad_tpu.eval.test_engine import test_net_on_dataset
+
+        img_dir = tmp_path / "img"
+        img_dir.mkdir()
+        Image.fromarray(
+            np.random.RandomState(0).randint(0, 255, (64, 96, 3), np.uint8)
+        ).save(img_dir / "000001.jpg")
+        ann = {
+            "images": [{"id": 1, "file_name": "000001.jpg",
+                        "height": 64, "width": 96}],
+            "annotations": [{"id": 1, "image_id": 1, "category_id": 1,
+                             "bbox": [8, 10, 32, 20], "area": 640,
+                             "iscrowd": 0}],
+            "categories": [{"id": 1, "name": "red"}],
+        }
+        af = tmp_path / "voc.json"
+        af.write_text(_json.dumps(ann))
+        register_dataset(
+            "voc_2007_synthtest", str(img_dir), str(af), allow_override=True
+        )
+        cfg = _fast_cfg()
+        cfg = merge_cfg_from_dict(
+            cfg,
+            {"MODEL": {"NUM_CLASSES": 2, "FASTER_RCNN": True},
+             "TEST": {"SCALES": (64,), "MAX_SIZE": 128,
+                      "DATASETS": ("voc_2007_synthtest",)},
+             "COMPUTE_DTYPE": "float32"},
+        )
+        from sad_tpu.models import create_model
+        from sad_tpu.models.model_builder import init_model_params
+
+        model = create_model(cfg)
+        params = init_model_params(
+            model, jax.random.PRNGKey(0), (1, 64, 128, 3)
+        )
+        res = test_net_on_dataset(cfg, model, params, batch_size=1)
+        # the VOC protocol reports mAP (per-class AP mean), not COCO AP50/75
+        assert "mAP" in res or "AP" in res
+        assert "AP75" not in res
+
+
 class TestPadProposals:
     def test_hflip_mirrors_on_raw_width(self):
         from sad_tpu.data.rpn_minibatch import pad_proposals
