@@ -320,6 +320,9 @@ class KRCNNConfig:
     KEYPOINT_CONFIDENCE: str = "bbox"
     MIN_KEYPOINT_COUNT_FOR_VALID_MINIBATCH: int = 20
     NMS_OKS: bool = False
+    # minimum upsampled-heatmap extent at decode (ref: config.py:854 +
+    # keypoints.py:129-134)
+    INFERENCE_MIN_SIZE: int = 0
 
 
 @dataclass(frozen=True)

@@ -416,7 +416,8 @@ def run_inference_on_roidb(
                     vidx = [k for k, v in enumerate(valid[j]) if v]
                     if vidx:
                         xy_all = heatmaps_to_keypoints(
-                            kps_heatmaps[j][vidx], boxes[j][vidx]
+                            kps_heatmaps[j][vidx], boxes[j][vidx],
+                            min_size=cfg.KRCNN.INFERENCE_MIN_SIZE,
                         )
                         kp_xy = dict(zip(vidx, xy_all))
                         if cfg.KRCNN.NMS_OKS:

@@ -47,29 +47,74 @@ def flip_keypoint_channels() -> np.ndarray:
     return flip_idx_for_names(COCO_KEYPOINTS)
 
 
+def _cubic_weights(frac: np.ndarray, a: float = -0.75) -> np.ndarray:
+    """Keys bicubic kernel weights at taps -1..2 for per-pixel fraction
+    `frac` (cv2 INTER_CUBIC uses a=-0.75). Returns (N, 4); rows sum to 1."""
+    d = np.abs(frac[:, None] - np.arange(-1, 3)[None, :])
+    near = (a + 2) * d ** 3 - (a + 3) * d ** 2 + 1
+    far = a * d ** 3 - 5 * a * d ** 2 + 8 * a * d - 4 * a
+    return np.where(d <= 1, near, np.where(d < 2, far, 0.0))
+
+
+def _resize_bicubic(m: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """cv2.resize(..., INTER_CUBIC) semantics on an (S, S, K) float map:
+    half-pixel sampling grid, Keys a=-0.75 kernel, clamped borders."""
+    in_h, in_w = m.shape[:2]
+
+    def axis(out_n, in_n):
+        src = (np.arange(out_n) + 0.5) * in_n / out_n - 0.5
+        i0 = np.floor(src).astype(np.int64)
+        w = _cubic_weights(src - i0).astype(np.float32)
+        idx = np.clip(i0[:, None] + np.arange(-1, 3)[None, :], 0, in_n - 1)
+        return idx, w
+
+    iy, wy = axis(out_h, in_h)
+    ix, wx = axis(out_w, in_w)
+    tmp = (m[iy] * wy[..., None, None]).sum(axis=1)  # (out_h, in_w, K)
+    return (tmp[:, ix] * wx[None, :, :, None]).sum(axis=2)
+
+
 def heatmaps_to_keypoints(
-    heatmaps: np.ndarray,  # (R, S, S, K) logits or probs
+    heatmaps: np.ndarray,  # (R, S, S, K) logits
     rois: np.ndarray,  # (R, 4) xyxy in image coords
+    min_size: float = 0.0,  # cfg.KRCNN.INFERENCE_MIN_SIZE
 ) -> np.ndarray:
     """Decode per-roi heatmaps to keypoint (x, y, logit, prob) rows
-    (ref: keypoints.py heatmaps_to_keypoints: argmax per channel, mapped back
-    through the roi transform). Returns (R, 4, K)."""
+    (ref: keypoints.py heatmaps_to_keypoints:103-158). The heatmap is
+    bicubic-UPSAMPLED to the roi's pixel extent (ceil(w) x ceil(h), floored
+    at INFERENCE_MIN_SIZE) before the per-channel argmax — pixel-precise
+    locations, not heatmap-cell centers. prob comes from a softmax over the
+    RESIZED map (scores_to_probs). Interpolation matches cv2 INTER_CUBIC
+    (Keys a=-0.75, half-pixel grid, clamped borders). Returns (R, 4, K)."""
     r, s, _, k = heatmaps.shape
     out = np.zeros((r, 4, k), np.float32)
+    offset_x = rois[:, 0]
+    offset_y = rois[:, 1]
     widths = np.maximum(rois[:, 2] - rois[:, 0], 1.0)
     heights = np.maximum(rois[:, 3] - rois[:, 1], 1.0)
+    widths_ceil = np.ceil(widths)
+    heights_ceil = np.ceil(heights)
     for i in range(r):
-        hm = heatmaps[i]  # (S, S, K)
-        flat = hm.reshape(-1, k)
+        if min_size > 0:
+            w = int(max(widths_ceil[i], min_size))
+            h = int(max(heights_ceil[i], min_size))
+        else:
+            w = int(widths_ceil[i])
+            h = int(heights_ceil[i])
+        width_correction = widths[i] / w
+        height_correction = heights[i] / h
+        roi_map = _resize_bicubic(
+            np.asarray(heatmaps[i], np.float32), h, w
+        )  # (h, w, K)
+        flat = roi_map.reshape(-1, k)
         pos = flat.argmax(axis=0)
-        py, px = np.divmod(pos, s)
-        # +0.5: center of the heatmap cell (keypoints.py coordinate mapping)
-        x = (px + 0.5) * widths[i] / s + rois[i, 0]
-        y = (py + 0.5) * heights[i] / s + rois[i, 1]
-        logit = flat[pos, np.arange(k)]
+        py, px = np.divmod(pos, w)
         e = np.exp(flat - flat.max(axis=0, keepdims=True))
         prob = (e / e.sum(axis=0, keepdims=True))[pos, np.arange(k)]
-        out[i] = np.stack([x, y, logit, prob])
+        out[i, 0] = (px + 0.5) * width_correction + offset_x[i]
+        out[i, 1] = (py + 0.5) * height_correction + offset_y[i]
+        out[i, 2] = flat[pos, np.arange(k)]
+        out[i, 3] = prob
     return out
 
 

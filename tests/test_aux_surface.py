@@ -29,10 +29,62 @@ class TestKeypoints:
         hm[0, 7, 0, 1] = 5.0
         rois = np.asarray([[10.0, 20.0, 90.0, 100.0]], np.float32)
         out = heatmaps_to_keypoints(hm, rois)
-        # x = (6+0.5)*80/8+10 = 75, y = (2+0.5)*80/8+20 = 45
-        assert out[0, 0, 0] == pytest.approx(75.0)
-        assert out[0, 1, 0] == pytest.approx(45.0)
-        assert out[0, 3, 0] > 0.9  # confident peak
+        # the heatmap is bicubic-upsampled to the 80x80 roi before argmax
+        # (keypoints.py:103-158); an isolated hot cell's upsampled bump
+        # peaks at the cell center: x = (6+0.5)*80/8+10 = 75, y = 45
+        assert out[0, 0, 0] == pytest.approx(75.0, abs=1.0)
+        assert out[0, 1, 0] == pytest.approx(45.0, abs=1.0)
+        # prob comes from a softmax over the RESIZED 80x80 map: the hot
+        # cell's mass spreads over its ~10x10 upsampled bump, so the peak
+        # prob is small in absolute terms but far above uniform
+        assert out[0, 3, 0] > 20.0 / (80 * 80)
+
+    def test_resize_bicubic_cv2_kernel_semantics(self):
+        """_resize_bicubic reproduces cv2 INTER_CUBIC (Keys a=-0.75):
+        interpolating (identity/constant exact), but NOT linear-reproducing
+        between samples — at frac 0.25 the first moment is 0.296875, the
+        a=-0.75 kernel's characteristic wiggle (a=-0.5 would give 0.25)."""
+        from sad_tpu.utils.keypoints import _resize_bicubic
+
+        rng = np.random.RandomState(0)
+        m = rng.randn(8, 8, 3).astype(np.float32)
+        np.testing.assert_allclose(_resize_bicubic(m, 8, 8), m, atol=1e-5)
+        c = np.full((4, 4, 1), 3.7, np.float32)
+        np.testing.assert_allclose(_resize_bicubic(c, 13, 9), 3.7, atol=1e-5)
+        ramp = (
+            np.arange(8, dtype=np.float32)[None, :, None]
+            * np.ones((8, 1, 1), np.float32)
+        )
+        up = _resize_bicubic(ramp, 8, 16)
+        # src position for output col 7 is 3.25 (frac 0.25); the a=-0.75
+        # kernel lands at 3 + 0.296875
+        assert up[4, 7, 0] == pytest.approx(3.296875, abs=1e-4)
+
+    def test_heatmap_decode_subcell_precision(self):
+        """Two adjacent equal-logit cells: the upsampled bump peaks BETWEEN
+        them — the cell-center decode could never produce this."""
+        hm = np.full((1, 8, 8, 1), -5.0, np.float32)
+        hm[0, 4, 3, 0] = 5.0
+        hm[0, 4, 4, 0] = 5.0
+        rois = np.asarray([[0.0, 0.0, 80.0, 80.0]], np.float32)
+        out = heatmaps_to_keypoints(hm, rois)
+        # cell centers are x=35 and x=45; the joint peak is near x=40
+        assert 37.0 < out[0, 0, 0] < 43.0
+
+    def test_heatmap_decode_inference_min_size(self):
+        """INFERENCE_MIN_SIZE floors the upsampled map extent
+        (keypoints.py:129-134)."""
+        hm = np.full((1, 4, 4, 1), -5.0, np.float32)
+        hm[0, 1, 2, 0] = 5.0
+        rois = np.asarray([[10.0, 10.0, 14.0, 14.0]], np.float32)  # tiny roi
+        out_plain = heatmaps_to_keypoints(hm, rois)
+        out_floor = heatmaps_to_keypoints(hm, rois, min_size=64)
+        # both localize within the roi near the hot cell center
+        for o in (out_plain, out_floor):
+            assert 10.0 <= o[0, 0, 0] <= 14.0
+            assert 10.0 <= o[0, 1, 0] <= 14.0
+        # the floored map gives finer quantization: (x+0.5)*w/64 grid
+        assert out_floor[0, 0, 0] != out_plain[0, 0, 0]
 
     def test_nms_oks_suppresses_duplicates(self):
         """ref keypoints.py nms_oks: greedy keep by mean-logit order,
@@ -107,9 +159,9 @@ class TestProposalFiles:
         with open(pf, "wb") as f:
             pickle.dump(props, f)
         roidb = [
-            {"id": 7, "width": 100, "flipped": False},
-            {"id": 7, "width": 100, "flipped": True},
-            {"id": 8, "width": 100, "flipped": False},
+            {"id": 7, "width": 100, "height": 80, "flipped": False},
+            {"id": 7, "width": 100, "height": 80, "flipped": True},
+            {"id": 8, "width": 100, "height": 80, "flipped": False},
         ]
         add_proposals_to_roidb(roidb, str(pf))
         np.testing.assert_allclose(roidb[0]["proposal_boxes"][0], [10, 10, 20, 20])
