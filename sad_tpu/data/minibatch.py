@@ -138,13 +138,11 @@ def prep_image(
     else:
         im = normalize_image(im_bgr, pixel_means, pixel_div, pixel_std)
     if (new_h, new_w) != im.shape[:2]:
-        chans = [
-            np.asarray(
-                Image.fromarray(im[:, :, c]).resize((new_w, new_h), Image.BILINEAR)
-            )
-            for c in range(3)
-        ]
-        im = np.stack(chans, axis=-1)
+        # exact cv2 INTER_LINEAR semantics (blob.py:94 resizes the float
+        # image with cv2; PIL would antialias on downscale)
+        from sad_tpu.utils.segms import _resize_bilinear
+
+        im = _resize_bilinear(np.ascontiguousarray(im), new_h, new_w)
     return im
 
 

@@ -66,6 +66,30 @@ def mask_to_bbox(mask: np.ndarray) -> np.ndarray:
     return np.asarray([xs.min(), ys.min(), xs.max(), ys.max()], np.float32)
 
 
+def _resize_bilinear(m: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """cv2.resize(..., INTER_LINEAR) semantics on a 2-D (or HWC 3-D) float
+    map: half-pixel sampling grid, 2-tap linear weights, clamped borders —
+    NO antialiasing on downscale (PIL's BILINEAR antialiases; cv2's
+    INTER_LINEAR does not)."""
+    in_h, in_w = m.shape[:2]
+
+    def axis(out_n, in_n):
+        src = (np.arange(out_n) + 0.5) * in_n / out_n - 0.5
+        i0 = np.floor(src).astype(np.int64)
+        f = (src - i0).astype(np.float32)
+        idx = np.clip(np.stack([i0, i0 + 1], 1), 0, in_n - 1)
+        w = np.stack([1.0 - f, f], 1)
+        return idx, w
+
+    iy, wy = axis(out_h, in_h)
+    ix, wx = axis(out_w, in_w)
+    if m.ndim == 3:
+        tmp = (m[iy] * wy[..., None, None]).sum(axis=1)
+        return (tmp[:, ix] * wx[None, :, :, None]).sum(axis=2)
+    tmp = (m[iy] * wy[..., None]).sum(axis=1)  # (out_h, in_w)
+    return (tmp[:, ix] * wx[None]).sum(axis=2)
+
+
 def paste_mask_into_image(
     mask_prob: np.ndarray,  # (res, res) float
     box: np.ndarray,  # (4,) xyxy in image coords
@@ -73,27 +97,32 @@ def paste_mask_into_image(
     im_w: int,
     thresh: float = 0.5,
 ) -> np.ndarray:
-    """Resize a roi-frame mask back into image frame and binarize
-    (ref: test.py segm_results / utils/segms paste machinery)."""
-    res = mask_prob.shape[0]
-    # the reference pads by 1 px scale margin (test.py expand_boxes); keep
-    # the simple direct paste
-    x1, y1 = int(np.floor(box[0])), int(np.floor(box[1]))
-    x2, y2 = int(np.ceil(box[2])), int(np.ceil(box[3]))
-    w = max(x2 - x1 + 1, 1)
-    h = max(y2 - y1 + 1, 1)
-    resized = np.asarray(
-        Image.fromarray((mask_prob * 255).astype(np.uint8)).resize(
-            (w, h), Image.BILINEAR
-        ),
-        np.float32,
-    ) / 255.0
+    """Resize a roi-frame mask back into image frame and binarize —
+    exact transcription of test.py segm_results:817-861: zero-pad the mask
+    by 1 px and expand the box by (M+2)/M (prevents cv2's replicated-border
+    "top hat" artifacts), int32-truncate the expanded box, bilinear-resize
+    (cv2 INTER_LINEAR semantics), strict > threshold, clipped paste."""
+    m = mask_prob.shape[0]
+    scale = (m + 2.0) / m
+    w_half = (box[2] - box[0]) * 0.5 * scale
+    h_half = (box[3] - box[1]) * 0.5 * scale
+    x_c = (box[2] + box[0]) * 0.5
+    y_c = (box[3] + box[1]) * 0.5
+    ref = np.array(
+        [x_c - w_half, y_c - h_half, x_c + w_half, y_c + h_half]
+    ).astype(np.int32)
+    padded = np.zeros((m + 2, m + 2), np.float32)
+    padded[1:-1, 1:-1] = mask_prob
+    w = max(int(ref[2] - ref[0] + 1), 1)
+    h = max(int(ref[3] - ref[1] + 1), 1)
+    mask = (_resize_bilinear(padded, h, w) > thresh).astype(np.uint8)
+
     out = np.zeros((im_h, im_w), np.uint8)
-    ox1, oy1 = max(x1, 0), max(y1, 0)
-    ox2, oy2 = min(x2 + 1, im_w), min(y2 + 1, im_h)
-    out[oy1:oy2, ox1:ox2] = (
-        resized[oy1 - y1 : oy2 - y1, ox1 - x1 : ox2 - x1] >= thresh
-    ).astype(np.uint8)
+    x0, y0 = max(int(ref[0]), 0), max(int(ref[1]), 0)
+    x1, y1 = min(int(ref[2]) + 1, im_w), min(int(ref[3]) + 1, im_h)
+    out[y0:y1, x0:x1] = mask[
+        y0 - ref[1] : y1 - ref[1], x0 - ref[0] : x1 - ref[0]
+    ]
     return out
 
 

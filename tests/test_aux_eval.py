@@ -225,6 +225,29 @@ class TestSegms:
         assert out.shape == (20, 20)
         assert out[5, 5] == 1 and out[0, 0] == 0
 
+    def test_paste_mask_reference_semantics(self):
+        """segm_results transcription: 1px zero-pad + (M+2)/M box expansion
+        (no border top-hat), int32-truncated extents, strict > threshold."""
+        m = 8
+        # exactly-threshold probs are EXCLUDED (reference uses >)
+        half = np.full((m, m), 0.5, np.float32)
+        out = segms.paste_mask_into_image(
+            half, np.asarray([4, 4, 12, 12], np.float32), 24, 24, thresh=0.5
+        )
+        assert out.sum() == 0
+        # a full mask's pasted extent stays within the expanded box and the
+        # zero-pad ring keeps the far border off
+        ones = np.ones((m, m), np.float32)
+        out = segms.paste_mask_into_image(
+            ones, np.asarray([8.0, 8.0, 15.0, 15.0], np.float32), 24, 24
+        )
+        # expanded box: center 11.5, half 3.5*10/8=4.375 -> [7.125, 15.875]
+        # -> int32 [7, 15]; interior filled, outside empty
+        assert out[11, 11] == 1
+        assert out[:6, :].sum() == 0 and out[18:, :].sum() == 0
+        ys, xs = np.nonzero(out)
+        assert ys.min() >= 7 and ys.max() <= 16 and xs.min() >= 7
+
     def test_flip_polys(self):
         flipped = segms.flip_polys([[0, 0, 10, 5]], width=100)
         np.testing.assert_allclose(flipped[0], [99, 0, 89, 5])
