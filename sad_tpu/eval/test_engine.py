@@ -403,6 +403,8 @@ def run_inference_on_roidb(
                     )
             timer.toc()
             for j, e in enumerate(chunk):
+                vis_segms = [None] * len(boxes[j])
+                vis_kps = [None] * len(boxes[j])
                 kp_xy = {}
                 kp_keep = None
                 if kps_heatmaps is not None:
@@ -471,10 +473,16 @@ def run_inference_on_roidb(
                             cfg.MRCNN.THRESH_BINARIZE,
                         )
                         det["segmentation"] = mask_to_rle(full)
+                        vis_segms[k] = full
+                    if "keypoints" in det:
+                        # the (4, K) decode rows — vis thresholds on the
+                        # logit row like the reference's vis_keypoints
+                        vis_kps[k] = kp_xy.get(k)
                     detections.append(det)
                 if vis_dir is not None:
-                    # per-image detection render (ref: test_engine.py:231-244
-                    # cfg.VIS dumps; threshold cfg.VIS_TH)
+                    # per-image detection render incl. mask overlays and
+                    # keypoint skeletons (ref: test_engine.py:231-244 cfg.VIS
+                    # dumps -> vis.py vis_one_image; threshold cfg.VIS_TH)
                     from sad_tpu.utils.vis import vis_one_image
 
                     im_bgr = load_image_bgr(e["image"], False)
@@ -486,6 +494,7 @@ def run_inference_on_roidb(
                         im_bgr[:, :, ::-1], boxes[j], scores[j], classes[j],
                         valid[j], thresh=cfg.VIS_TH,
                         out_path=os.path.join(vis_dir, base + ".png"),
+                        segms=vis_segms, keypoints=vis_kps,
                     )
             if (i // batch_size) % 10 == 0:
                 logger.info(

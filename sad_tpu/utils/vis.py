@@ -26,6 +26,40 @@ def colormap(n: int = 79) -> np.ndarray:
     return np.asarray(colors, np.uint8)
 
 
+def kp_connections() -> list:
+    """COCO keypoint skeleton pairs (ref: vis.py kp_connections:47-65)."""
+    from sad_tpu.utils.keypoints import get_keypoints
+
+    names, _ = get_keypoints()
+    pairs = [
+        ("left_eye", "right_eye"), ("left_eye", "nose"),
+        ("right_eye", "nose"), ("right_eye", "right_ear"),
+        ("left_eye", "left_ear"),
+        ("right_shoulder", "right_elbow"), ("right_elbow", "right_wrist"),
+        ("left_shoulder", "left_elbow"), ("left_elbow", "left_wrist"),
+        ("right_hip", "right_knee"), ("right_knee", "right_ankle"),
+        ("left_hip", "left_knee"), ("left_knee", "left_ankle"),
+        ("right_shoulder", "left_shoulder"), ("right_hip", "left_hip"),
+    ]
+    return [(names.index(a), names.index(b)) for a, b in pairs]
+
+
+def _blend_mask(
+    arr: np.ndarray, mask: np.ndarray, color, alpha: float = 0.4
+) -> None:
+    """In-place semi-transparent mask fill + 1px white border
+    (ref: vis.py vis_mask:97-112)."""
+    idx = mask.astype(bool)
+    col = np.asarray(color, np.float32)
+    arr[idx] = (arr[idx] * (1 - alpha) + col * alpha).astype(np.uint8)
+    # border: mask pixels adjacent to a non-mask pixel
+    pad = np.pad(idx, 1)
+    interior = (
+        pad[:-2, 1:-1] & pad[2:, 1:-1] & pad[1:-1, :-2] & pad[1:-1, 2:]
+    )
+    arr[idx & ~interior] = (255, 255, 255)
+
+
 def vis_one_image(
     im_rgb: np.ndarray,
     boxes: np.ndarray,  # (K, 4) xyxy
@@ -35,10 +69,31 @@ def vis_one_image(
     class_names: Optional[Sequence[str]] = None,
     thresh: float = 0.5,
     out_path: Optional[str] = None,
+    segms: Optional[Sequence] = None,  # per-k RLE dict / binary mask / None
+    keypoints: Optional[Sequence] = None,  # per-k flat [x,y,v]*17 or (4,17)
+    kp_thresh: float = 2.0,
 ) -> Image.Image:
-    img = Image.fromarray(np.ascontiguousarray(im_rgb))
-    draw = ImageDraw.Draw(img)
+    """Boxes + labels, optional mask overlays and keypoint skeletons
+    (ref: vis.py vis_one_image_opencv: vis_mask + vis_class + vis_bbox +
+    vis_keypoints)."""
+    arr = np.ascontiguousarray(im_rgb).copy()
     cmap = colormap()
+    if segms is not None:
+        from sad_tpu.utils.segms import rle_to_mask
+
+        for k in range(len(boxes)):
+            if valid is not None and not valid[k]:
+                continue
+            if scores[k] < thresh or k >= len(segms) or segms[k] is None:
+                continue
+            m = segms[k]
+            if isinstance(m, dict):
+                m = rle_to_mask(m)
+            _blend_mask(
+                arr, np.asarray(m), cmap[int(classes[k]) % len(cmap)]
+            )
+    img = Image.fromarray(arr)
+    draw = ImageDraw.Draw(img)
     for k in range(len(boxes)):
         if valid is not None and not valid[k]:
             continue
@@ -58,6 +113,28 @@ def vis_one_image(
             else f"cls{c}"
         )
         draw.text((x1 + 2, max(0, y1 - 12)), f"{name} {scores[k]:.2f}", fill=color)
+        if keypoints is not None and k < len(keypoints) and (
+            keypoints[k] is not None
+        ):
+            kp = np.asarray(keypoints[k], np.float32)
+            if kp.ndim == 1:  # COCO triplets [x, y, v] * K
+                kp = kp.reshape(-1, 3).T  # (3, K): x, y, v
+                vis_row = 2
+            else:  # (4, K) decode rows: x, y, logit, prob
+                vis_row = 2
+            for a, b in kp_connections():
+                if kp[vis_row, a] >= kp_thresh and kp[vis_row, b] >= kp_thresh:
+                    draw.line(
+                        [(kp[0, a], kp[1, a]), (kp[0, b], kp[1, b])],
+                        fill=color, width=2,
+                    )
+            for j in range(kp.shape[1]):
+                if kp[vis_row, j] >= kp_thresh:
+                    draw.ellipse(
+                        [kp[0, j] - 2, kp[1, j] - 2,
+                         kp[0, j] + 2, kp[1, j] + 2],
+                        fill=color,
+                    )
     if out_path:
         img.save(out_path)
     return img

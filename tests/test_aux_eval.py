@@ -466,13 +466,16 @@ class TestEngineKpsTTA:
             np.random.RandomState(0).randint(0, 255, (50, 60, 3), np.uint8)
         ).save(p)
         roidb = [{"id": 1, "image": str(p), "height": 50, "width": 60}]
+        vis_dir = str(tmp_path / "vis")
         dets = run_inference_on_roidb(
             cfg, model, params, roidb, {i: i for i in range(10)},
-            batch_size=1,
+            batch_size=1, vis_dir=vis_dir,
         )
         for d in dets:
             assert "keypoints" in d
             assert len(d["keypoints"]) == 17 * 3
+        # the vis path renders with the per-det keypoint rows threaded in
+        assert os.path.exists(os.path.join(vis_dir, "im.png"))
 
     def test_combine_heatmaps_size_dep_unit(self):
         """Small objects drop downscaled passes, large drop upscaled

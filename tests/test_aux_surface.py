@@ -377,3 +377,37 @@ class TestConvInit:
             KeypointHead(8, 17, num_convs=1, conv_init="XavierFill").init(
                 jax.random.PRNGKey(0), jnp.zeros((1, 14, 14, 8))
             )
+
+
+class TestVis:
+    def test_vis_one_image_boxes_masks_keypoints(self, tmp_path):
+        """vis_one_image overlays masks (alpha blend + white border) and
+        keypoint skeletons (ref: vis.py vis_mask/vis_keypoints/kp_connections)."""
+        import numpy as np
+
+        from sad_tpu.utils.vis import kp_connections, vis_one_image
+
+        im = np.zeros((60, 80, 3), np.uint8)
+        boxes = np.asarray([[10, 10, 40, 40]], np.float32)
+        scores = np.asarray([0.9], np.float32)
+        classes = np.asarray([1], np.int32)
+        mask = np.zeros((60, 80), np.uint8)
+        mask[15:35, 15:35] = 1
+        kp = np.zeros((4, 17), np.float32)
+        kp[0] = np.linspace(12, 38, 17)  # x
+        kp[1] = np.linspace(12, 38, 17)  # y
+        kp[2] = 5.0  # confident logits
+        out = tmp_path / "v.png"
+        img = vis_one_image(
+            im, boxes, scores, classes,
+            segms=[mask], keypoints=[kp], out_path=str(out),
+        )
+        assert out.exists()
+        arr = np.asarray(img)
+        # mask interior got blended (non-black), border white
+        assert arr[25, 25].sum() > 0
+        assert tuple(arr[15, 25]) == (255, 255, 255)
+        # skeleton pairs resolve to valid indices
+        pairs = kp_connections()
+        assert len(pairs) == 15
+        assert all(0 <= a < 17 and 0 <= b < 17 for a, b in pairs)
