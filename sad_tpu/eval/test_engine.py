@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -511,11 +511,17 @@ def test_net_on_dataset(
     dataset_name: Optional[str] = None,
     batch_size: int = 8,
     output_dir: Optional[str] = None,
+    im_range: Optional[Tuple[int, int]] = None,
 ) -> Dict[str, float]:
-    """Run inference + COCO evaluation on cfg.TEST.DATASETS[0]."""
+    """Run inference + COCO evaluation on cfg.TEST.DATASETS[0].
+
+    im_range=(start, end) evaluates only that slice of the dataset's images
+    (ref test_net.py --range, the reference's subprocess-sharding unit)."""
     name = dataset_name or cfg.TEST.DATASETS[0]
     ds = CocoDataset(name)
     roidb = ds.get_roidb(include_gt=False)
+    if im_range is not None:
+        roidb = roidb[im_range[0] : im_range[1]]
     if cfg.TEST.PROPOSAL_FILES and not cfg.MODEL.FASTER_RCNN:
         from .rpn_generator import add_proposals_to_roidb
 

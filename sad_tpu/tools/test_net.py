@@ -33,17 +33,52 @@ def parse_args(argv=None):
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--pseudo-out", default=None)
     p.add_argument("--pseudo-score-thresh", type=float, default=0.5)
+    p.add_argument(
+        "--wait", action="store_true",
+        help="wait for the weights file to exist (ref test_net.py --wait)",
+    )
+    p.add_argument(
+        "--vis", action="store_true",
+        help="visualize detections (sets VIS True)",
+    )
+    p.add_argument(
+        "--range", dest="im_range", type=int, nargs=2, default=None,
+        metavar=("START", "END"),
+        help="evaluate images [START, END) of the dataset "
+             "(ref test_net.py --range)",
+    )
+    p.add_argument(
+        "--multi-gpu-testing", action="store_true",
+        help="accepted for reference-CLI parity; inference is already "
+             "batched over every local device via the data mesh (no "
+             "subprocess sharding needed)",
+    )
     p.add_argument("opts", nargs=argparse.REMAINDER, default=[])
     return p.parse_args(argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
-    cfg = load_cfg(args.cfg_file, args.opts or None)
+    opts = list(args.opts or [])
+    if args.vis:
+        opts += ["VIS", "True"]
+    cfg = load_cfg(args.cfg_file, opts or None)
+    if args.multi_gpu_testing:
+        logger.info(
+            "--multi-gpu-testing: batched mesh inference covers all "
+            "local devices (%d)", jax.local_device_count(),
+        )
     model = create_model(cfg)
     (h, w), _ = canvas_shapes(cfg)
     params = init_model_params(model, jax.random.PRNGKey(0), (1, h, w, 3))
     weights = args.weights or cfg.TEST.WEIGHTS
+    if args.wait and weights:
+        import os
+        import time
+
+        while not os.path.exists(weights):
+            logger.info("Waiting for %s to exist...", weights)
+            time.sleep(10)
     if weights:
         params = load_reference_or_native(weights, params, cfg)
         logger.info("Loaded weights: %s", weights)
@@ -81,6 +116,7 @@ def main(argv=None):
         results = test_net_on_dataset(
             cfg, model, params, batch_size=args.batch_size,
             output_dir=get_output_dir(cfg, training=False),
+            im_range=tuple(args.im_range) if args.im_range else None,
         )
         logger.info("Results: %s", results)
         if cfg.EXPECTED_RESULTS:

@@ -26,6 +26,11 @@ def parse_args(argv=None):
     p.add_argument("--teacher_cfg", dest="teacher_cfg_file", default=None)
     p.add_argument("--skip-test", action="store_true")
     p.add_argument("--max-iters", type=int, default=None)
+    p.add_argument(
+        "--multi-gpu-testing", action="store_true",
+        help="accepted for reference-CLI parity; post-training eval is "
+             "already batched over every local device",
+    )
     p.add_argument("opts", nargs=argparse.REMAINDER, default=[])
     return p.parse_args(argv)
 

@@ -225,6 +225,12 @@ class TestEngineAndLoop:
         results = test_net_on_dataset(cfg, model, params, batch_size=2)
         assert "AP" in results  # random weights: AP 0.0 is fine
 
+        # --range slicing (ref test_net.py --range): evaluate image [0, 1)
+        r1 = test_net_on_dataset(
+            cfg, model, params, batch_size=2, im_range=(0, 1)
+        )
+        assert "AP" in r1
+
         # evaluating a dataset with no matching TEST.DATASETS entry must
         # refuse (a wrong proposal file silently yields zero proposals)
         with pytest.raises(ValueError, match="not in"):
