@@ -31,12 +31,19 @@ logger = setup_logging("infer_simple")
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--cfg", dest="cfg_file", required=True)
-    p.add_argument("--weights", default=None)
-    p.add_argument("--image-dir", required=True)
+    # --wts is the reference's name for the same flag
+    p.add_argument("--weights", "--wts", dest="weights", default=None)
+    p.add_argument("--image-dir", default=None)
     p.add_argument("--output-dir", required=True)
     p.add_argument("--thresh", type=float, default=0.5)
-    p.add_argument("--ext", default="jpg")
+    p.add_argument("--ext", "--image-ext", dest="ext", default="jpg")
+    # the reference takes a positional image-or-folder operand
+    p.add_argument("im_or_folder", nargs="?", default=None)
     args = p.parse_args(argv)
+    if args.image_dir is None:
+        if args.im_or_folder is None:
+            p.error("provide --image-dir or an im_or_folder operand")
+        args.image_dir = args.im_or_folder
 
     cfg = load_cfg(args.cfg_file)
     model = create_model(cfg)
@@ -53,7 +60,12 @@ def main(argv=None):
 
     from PIL import Image
 
-    for path in sorted(glob.glob(os.path.join(args.image_dir, f"*.{args.ext}"))):
+    paths = (
+        [args.image_dir]
+        if os.path.isfile(args.image_dir)
+        else sorted(glob.glob(os.path.join(args.image_dir, f"*.{args.ext}")))
+    )
+    for path in paths:
         with Image.open(path) as img:
             rgb = np.asarray(img.convert("RGB"))
         bgr = rgb[:, :, ::-1].copy()

@@ -141,3 +141,11 @@ def test_infer_simple_runs_a_model(tool_env):
     main(["--cfg", cfg_file, "--image-dir", tool_env["img_dir"],
           "--output-dir", out_dir, "--thresh", "0.0"])
     assert len(os.listdir(out_dir)) >= 1
+
+    # reference argument spelling: positional im_or_folder (single file
+    # works too) + --image-ext alias (infer_simple.py:93-135)
+    out_dir2 = os.path.join(root, "infer_out2")
+    one_img = sorted(os.listdir(tool_env["img_dir"]))[0]
+    main(["--cfg", cfg_file, "--output-dir", out_dir2, "--thresh", "0.0",
+          "--image-ext", "png", os.path.join(tool_env["img_dir"], one_img)])
+    assert len(os.listdir(out_dir2)) == 1
