@@ -138,6 +138,14 @@ def add_proposals_to_roidb(
             boxes = boxes[(wh[:, 0] >= min_size) & (wh[:, 1] >= min_size)]
         if top_k > 0:
             boxes = boxes[:top_k]
+        if e.get("flipped"):
+            w = e["width"]
+            x1 = boxes[:, 0].copy()
+            x2 = boxes[:, 2].copy()
+            boxes[:, 0] = w - x2 - 1
+            boxes[:, 2] = w - x1 - 1
+        # crowd exclusion AFTER the flip: e['boxes'] is already in the
+        # entry's (possibly flipped) frame, so the proposals must be too
         if crowd_thresh > 0 and len(boxes) and "is_crowd" in e:
             crowd = e["boxes"][np.asarray(e["is_crowd"], bool)]
             if len(crowd):
@@ -145,12 +153,6 @@ def add_proposals_to_roidb(
                     _crowd_ioa(boxes, crowd.astype(np.float32))
                     <= crowd_thresh
                 ]
-        if e.get("flipped"):
-            w = e["width"]
-            x1 = boxes[:, 0].copy()
-            x2 = boxes[:, 2].copy()
-            boxes[:, 0] = w - x2 - 1
-            boxes[:, 2] = w - x1 - 1
         e["proposal_boxes"] = boxes
 
 

@@ -142,6 +142,12 @@ def run_inference_on_roidb(
     TEST.MASK_AUG/KPS_AUG.ENABLED the mask/keypoint heads re-run per
     transform on the final boxes and the soft outputs are combined by the
     configured heuristic."""
+    if cfg.KRCNN.KEYPOINT_CONFIDENCE not in ("bbox", "logit", "prob"):
+        # fail before inference, not on the first emitted detection
+        raise ValueError(
+            "KRCNN.KEYPOINT_CONFIDENCE must be 'logit', 'prob', or "
+            f"'bbox'; got {cfg.KRCNN.KEYPOINT_CONFIDENCE!r}"
+        )
     infer = _make_infer_fn(cfg, model)
     is_rcnn = cfg.MODEL.TYPE == "generalized_rcnn"
     # pure Fast R-CNN: precomputed proposals attached to the roidb
@@ -449,16 +455,18 @@ def run_inference_on_roidb(
                         for ki in range(xy.shape[1]):
                             trip += [float(xy[0, ki]), float(xy[1, ki]), 1]
                         det["keypoints"] = trip
+                        # keypoint-task score kept SEPARATE from the box
+                        # score: the reference rescoring applies only when
+                        # writing keypoint results
+                        # (json_dataset_evaluator:376-409); bbox/segm
+                        # results keep the box score
                         conf = cfg.KRCNN.KEYPOINT_CONFIDENCE
                         if conf == "logit":
-                            det["score"] = float(xy[2].mean())
+                            det["kps_score"] = float(xy[2].mean())
                         elif conf == "prob":
-                            det["score"] = float(xy[3].mean())
-                        elif conf != "bbox":
-                            raise ValueError(
-                                "KRCNN.KEYPOINT_CONFIDENCE must be "
-                                f"'logit', 'prob', or 'bbox'; got {conf!r}"
-                            )
+                            det["kps_score"] = float(xy[3].mean())
+                        else:
+                            det["kps_score"] = float(s)
                     if mask_prob is not None:
                         # paste the roi-frame mask into the image frame and
                         # RLE-encode (segm_results, test.py + segms utils)
@@ -589,6 +597,19 @@ def test_net_on_dataset(
             dets, verbose=True
         )
         results.update({f"segm_{k}": v for k, v in segm.items()})
+    if cfg.MODEL.KEYPOINTS_ON and any("keypoints" in d for d in dets):
+        # keypoint task eval ranked by the keypoint-confidence score
+        # (json_dataset_evaluator _do_keypoint_eval + the per-result score
+        # selection at :376-409)
+        kp_dets = [
+            dict(d, score=d.get("kps_score", d["score"]))
+            for d in dets
+            if "keypoints" in d
+        ]
+        kps = COCOEvaluator(ds.dataset, iou_type="keypoints").evaluate(
+            kp_dets, verbose=True
+        )
+        results.update({f"keypoints_{k}": v for k, v in kps.items()})
     return results
 
 

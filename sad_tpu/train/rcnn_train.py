@@ -143,11 +143,18 @@ def fast_rcnn_losses(cfg: Config, cls_score, labels, bbox_pred, bbox_targets,
             per_total.reshape(n_images, -1)
         ).reshape(-1)
         keep = keep * live.astype(jnp.float32)
-        # exactly OHEM_ROI_PER_IMG rois keep weight 1 per image, so the
-        # per-group weighted means the reference computes collapse to the
-        # global weighted mean (static equal counts per group)
-        n_keep = jnp.maximum(jnp.sum(keep), 1.0)
-        cls_loss = jnp.sum(nll * keep, dtype=jnp.float32) / n_keep
+        # per-group weighted means, averaged (the reference's per-GPU
+        # SoftmaxWithLoss-with-weights x 1/G + allreduce-SUM). Counts are
+        # usually equal (top-k keeps exactly OHEM_ROI_PER_IMG per image)
+        # but `keep * live` can shrink a group when an image has fewer
+        # live rois than k, so compute per-group like the plain path.
+        keep_sum_g = jnp.sum(
+            (nll * keep).reshape(n_groups, -1), axis=1, dtype=jnp.float32
+        )
+        keep_cnt_g = jnp.maximum(
+            jnp.sum(keep.reshape(n_groups, -1), axis=1), 1.0
+        )
+        cls_loss = jnp.sum(keep_sum_g / keep_cnt_g) / n_groups
         bbox_loss = smooth_l1_loss(
             bbox_pred, bbox_targets, inside_w, outside_w * keep[:, None],
             beta=1.0, scale=cfg.MODEL.BBOX_REG_WEIGHT_SCALE,

@@ -119,17 +119,18 @@ def vis_one_image(
             kp = np.asarray(keypoints[k], np.float32)
             if kp.ndim == 1:  # COCO triplets [x, y, v] * K
                 kp = kp.reshape(-1, 3).T  # (3, K): x, y, v
-                vis_row = 2
+                thr = 1.0  # v >= 1: labeled (engine triplets carry v=1)
             else:  # (4, K) decode rows: x, y, logit, prob
-                vis_row = 2
+                thr = kp_thresh  # logit threshold (ref vis_keypoints)
+            vis_row = 2
             for a, b in kp_connections():
-                if kp[vis_row, a] >= kp_thresh and kp[vis_row, b] >= kp_thresh:
+                if kp[vis_row, a] >= thr and kp[vis_row, b] >= thr:
                     draw.line(
                         [(kp[0, a], kp[1, a]), (kp[0, b], kp[1, b])],
                         fill=color, width=2,
                     )
             for j in range(kp.shape[1]):
-                if kp[vis_row, j] >= kp_thresh:
+                if kp[vis_row, j] >= thr:
                     draw.ellipse(
                         [kp[0, j] - 2, kp[1, j] - 2,
                          kp[0, j] + 2, kp[1, j] + 2],

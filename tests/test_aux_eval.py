@@ -2,6 +2,7 @@
 evaluator, EXPECTED_RESULTS gate, segms utilities."""
 
 import dataclasses
+import os
 
 import numpy as np
 import pytest
@@ -595,11 +596,18 @@ class TestEngineKpsTTA:
         )
         # OKS-NMS can only prune
         assert len(dets) <= len(base)
-        # random weights: near-uniform heatmaps -> logit mean differs from
-        # the box softmax score
-        for d, b in zip(dets, base):
+        # the keypoint-task score is kept SEPARATE: det['score'] stays the
+        # box score (bbox/segm eval use it), det['kps_score'] carries the
+        # logit-mean rescoring (random weights: near-uniform heatmaps ->
+        # logit mean differs from the box softmax score)
+        for d in dets:
             assert "keypoints" in d
-            assert d["score"] != pytest.approx(b["score"])
+            assert d["kps_score"] != pytest.approx(d["score"])
+        for d in base:
+            assert d["kps_score"] == pytest.approx(d["score"])  # 'bbox' mode
+
+
+class TestMeshInference:
     def test_batch_sharded_over_data_axis(self, tmp_path):
         """batch_size divisible by device count -> the engine runs the jitted
         decode over an 8-way 'data' mesh (replacing the reference's
