@@ -202,3 +202,45 @@ class TestFullTrainStep:
             or "pose" in jax.tree_util.keystr(kpath).lower()
         )
         assert kps_moved
+
+    def test_keypoint_and_mask_losses_learn(self, kp_mask_setup):
+        """Overfit one fixed batch: the (group-exact, per-image-denominator)
+        keypoint and mask losses must DECREASE under SGD — a sign/magnitude
+        regression test for the loss normalization."""
+        cfg, entries = kp_mask_setup
+        from sad_tpu.data.rpn_minibatch import RCNNMinibatchBuilder
+        from sad_tpu.models import create_model
+        from sad_tpu.models.model_builder import init_model_params
+        from sad_tpu.train import TrainState, init_momentum_state
+        from sad_tpu.train.rcnn_train import make_rcnn_train_step
+
+        # random init needs unit-scale inputs (Caffe mean-only normalization
+        # leaves std~60 pixels that blow up an unpretrained trunk)
+        cfg = dataclasses.replace(cfg, PIXEL_STD=(57.375, 57.12, 58.395))
+        builder = RCNNMinibatchBuilder(cfg, max_gt=8)
+        batch = jax.tree_util.tree_map(
+            jnp.asarray, builder.build(entries, seed=0)
+        )
+        _, ch, cw, _ = batch["data"].shape
+        model = create_model(cfg)
+        params = init_model_params(model, jax.random.PRNGKey(0), (1, ch, cw, 3))
+        step = jax.jit(make_rcnn_train_step(cfg, model, n_groups=1))
+        state = TrainState(params, init_momentum_state(params).velocity)
+        first = None
+        rng = jax.random.PRNGKey(2)
+        for i in range(60):
+            # fixed sampling rng: the same rois every step (pure overfit)
+            state, metrics = step(state, batch, jnp.float32(5e-3), rng)
+            if first is None:
+                first = {
+                    k: float(metrics[k]) for k in ("loss_kps", "loss_mask")
+                }
+        last = {k: float(metrics[k]) for k in ("loss_kps", "loss_mask")}
+        assert np.isfinite(last["loss_kps"]) and np.isfinite(last["loss_mask"])
+        # the kps output deconv inits at gauss 0.001 so its descent is slow
+        # to start (measured trajectory: 5.278 -> 4.91 by step 60, -> 4.04
+        # by 120); the mask branch moves faster
+        assert last["loss_kps"] < 0.95 * first["loss_kps"], (first, last)
+        # the mask loss oscillates at this LR (0.69 -> ~0.55 at step 60,
+        # dipping to 0.40 along the way); assert clear descent, not the dip
+        assert last["loss_mask"] < 0.85 * first["loss_mask"], (first, last)
