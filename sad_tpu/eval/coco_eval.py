@@ -139,8 +139,19 @@ class COCOEvaluator:
         self.iou_type = iou_type
         # overridable for VID-style protocols (ref: vid_eval.py:507-516,
         # same structure with a 1e5^2 area cap)
-        self.area_rngs = dict(area_rngs) if area_rngs else dict(AREA_RNGS)
-        self.max_dets = tuple(max_dets) if max_dets else MAX_DETS
+        if iou_type == "keypoints":
+            # pycocotools keypoint-task protocol: maxDets [20], area ranges
+            # all/medium/large (no 'small' — OKS sigmas make tiny-person
+            # evaluation meaningless)
+            default_areas = {
+                k: v for k, v in AREA_RNGS.items() if k != "small"
+            }
+            default_max_dets = (20,)
+        else:
+            default_areas = dict(AREA_RNGS)
+            default_max_dets = MAX_DETS
+        self.area_rngs = dict(area_rngs) if area_rngs else default_areas
+        self.max_dets = tuple(max_dets) if max_dets else default_max_dets
         self.cat_ids = sorted(c["id"] for c in gt_dataset.get("categories", []))
         self.img_ids = sorted(im["id"] for im in gt_dataset.get("images", []))
         self._img_hw = {
@@ -341,10 +352,9 @@ class COCOEvaluator:
                         precision[ti, :, ki, ai, mi] = q
 
         def _summ(prec=True, iou=None, area="all", max_det=100):
-            ai = (
-                list(self.area_rngs).index(area)
-                if area in self.area_rngs else 0
-            )
+            if area not in self.area_rngs:
+                return -1.0  # e.g. APs under the keypoint protocol
+            ai = list(self.area_rngs).index(area)
             mi = (
                 self.max_dets.index(max_det)
                 if max_det in self.max_dets else len(self.max_dets) - 1

@@ -45,7 +45,11 @@ def proposal_candidates(
     boxes = bbox_transform(top_anchors, top_deltas)
     boxes = clip_boxes(boxes, im_hw[0], im_hw[1])
 
-    # filter_boxes (generate_proposals.py / boxes.py filter_small_boxes)
+    # filter_boxes (generate_proposals.py:171-183). The reference scales
+    # min_size by im_scale (it is in ORIGINAL-image pixels) and also drops
+    # boxes whose center falls outside the image — vacuous after clipping.
+    # Every reference YAML leaves RPN_MIN_SIZE at 0 (both forms no-op);
+    # a nonzero caller must pass min_size pre-scaled to the network frame.
     ws = boxes[:, 2] - boxes[:, 0] + 1.0
     hs = boxes[:, 3] - boxes[:, 1] + 1.0
     keep = (ws > min_size) & (hs > min_size)

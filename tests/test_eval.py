@@ -195,7 +195,12 @@ class TestKeypointEval:
         perfect = [{"image_id": 1, "category_id": 1, "score": 0.9,
                     "bbox": [10, 10, 40, 40],
                     "keypoints": [20, 20, 2, 30, 30, 2, 40, 40, 2]}]
-        res = COCOEvaluator(gt, iou_type="keypoints").evaluate(perfect)
+        ev = COCOEvaluator(gt, iou_type="keypoints")
+        # keypoint-task protocol params (pycocotools): maxDets [20],
+        # all/medium/large areas only
+        assert ev.max_dets == (20,)
+        assert "small" not in ev.area_rngs
+        res = ev.evaluate(perfect)
         assert res["AP"] == pytest.approx(1.0)
         far = [{"image_id": 1, "category_id": 1, "score": 0.9,
                 "bbox": [10, 10, 40, 40],
