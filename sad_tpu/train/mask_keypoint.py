@@ -18,6 +18,17 @@ Losses preserved:
   normalized by the number of visible keypoints when
   NORMALIZE_BY_VISIBLE_KEYPOINTS (keypoint_rcnn_heads.py SoftmaxWithLoss
   on kps_score with spatial labels).
+
+Deliberate static-shape redesign of the keypoint roi selection: the
+reference draws a SEPARATE keypoint-fg sample — up to fg_rois_per_image
+rois with overlap >= FG_THRESH that contain >= 1 visible keypoint, chosen
+from the full candidate pool (roi_data/keypoint_rcnn.py
+add_keypoint_rcnn_blobs:37-62). Here the keypoint head runs on the box
+head's fg slots; rois (or individual keypoints) without a visible,
+inside-the-roi keypoint simply carry zero weight in the loss
+(heat_valid), and the per-group minibatch-validity gate plays the
+reference's finalize_keypoint_minibatch role. Same supervision semantics,
+no dynamic second sampling pass.
 """
 
 from __future__ import annotations
