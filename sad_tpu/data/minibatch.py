@@ -74,14 +74,25 @@ def compute_im_scale(h: int, w: int, target_size: int, max_size: int) -> float:
 def resize_bgr_u8(im_bgr: np.ndarray, scale: float) -> np.ndarray:
     """Bilinear uint8 resize (shared by every normalization stream — the
     teacher sees the student's geometry, only pixel normalization differs,
-    ref minibatch.py:74-82)."""
+    ref minibatch.py:74-82).
+
+    Upscale: PIL (2-tap bilinear, identical sampling grid to cv2
+    INTER_LINEAR, fast C loop). Downscale: PIL would antialias
+    (area-average) where cv2 takes plain 2-tap samples, so the cv2-exact
+    numpy kernel is used instead — e.g. COCO images with shortest side
+    > TRAIN.SCALES get a <1 scale."""
     new_w = int(round(im_bgr.shape[1] * scale))
     new_h = int(round(im_bgr.shape[0] * scale))
     if (new_h, new_w) == im_bgr.shape[:2]:
         return im_bgr
-    return np.asarray(
-        Image.fromarray(im_bgr).resize((new_w, new_h), Image.BILINEAR)
-    )
+    if scale >= 1.0:
+        return np.asarray(
+            Image.fromarray(im_bgr).resize((new_w, new_h), Image.BILINEAR)
+        )
+    from sad_tpu.utils.segms import _resize_bilinear
+
+    out = _resize_bilinear(im_bgr.astype(np.float32), new_h, new_w)
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
 
 
 def normalize_image(
