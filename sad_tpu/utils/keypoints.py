@@ -70,8 +70,16 @@ def _resize_bicubic(m: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 
     iy, wy = axis(out_h, in_h)
     ix, wx = axis(out_w, in_w)
-    tmp = (m[iy] * wy[..., None, None]).sum(axis=1)  # (out_h, in_w, K)
-    return (tmp[:, ix] * wx[None, :, :, None]).sum(axis=2)
+    # accumulate per tap: peak memory one (out, in, K) plane instead of a
+    # 4x-taps intermediate (matters for large-roi keypoint decodes)
+    k = m.shape[2]
+    tmp = np.zeros((out_h, in_w, k), np.float32)
+    for t in range(4):
+        tmp += m[iy[:, t]] * wy[:, t, None, None]
+    out = np.zeros((out_h, out_w, k), np.float32)
+    for t in range(4):
+        out += tmp[:, ix[:, t]] * wx[None, :, t, None]
+    return out
 
 
 def heatmaps_to_keypoints(

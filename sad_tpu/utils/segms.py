@@ -83,11 +83,23 @@ def _resize_bilinear(m: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 
     iy, wy = axis(out_h, in_h)
     ix, wx = axis(out_w, in_w)
+    # accumulate per tap (peak memory = one output-sized plane)
     if m.ndim == 3:
-        tmp = (m[iy] * wy[..., None, None]).sum(axis=1)
-        return (tmp[:, ix] * wx[None, :, :, None]).sum(axis=2)
-    tmp = (m[iy] * wy[..., None]).sum(axis=1)  # (out_h, in_w)
-    return (tmp[:, ix] * wx[None]).sum(axis=2)
+        c = m.shape[2]
+        tmp = np.zeros((out_h, in_w, c), np.float32)
+        for t in range(2):
+            tmp += m[iy[:, t]] * wy[:, t, None, None]
+        out = np.zeros((out_h, out_w, c), np.float32)
+        for t in range(2):
+            out += tmp[:, ix[:, t]] * wx[None, :, t, None]
+        return out
+    tmp = np.zeros((out_h, in_w), np.float32)
+    for t in range(2):
+        tmp += m[iy[:, t]] * wy[:, t, None]
+    out = np.zeros((out_h, out_w), np.float32)
+    for t in range(2):
+        out += tmp[:, ix[:, t]] * wx[None, :, t]
+    return out
 
 
 def paste_mask_into_image(
