@@ -33,6 +33,11 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 from PIL import Image
 
+try:  # the reference's decoder/resizer; PIL/numpy paths are the fallback
+    import cv2 as _cv2
+except ImportError:  # pragma: no cover
+    _cv2 = None
+
 from sad_tpu.config import Config
 
 from .anchors import all_field_anchors, assign_retinanet_labels
@@ -54,7 +59,13 @@ def canvas_shapes(cfg: Config) -> Tuple[Tuple[int, int], Tuple[int, int]]:
 
 
 def load_image_bgr(path: str, flipped: bool = False) -> np.ndarray:
-    """uint8 HWC BGR (the reference reads with cv2 => BGR, minibatch.py:116)."""
+    """uint8 HWC BGR (the reference reads with cv2 => BGR, minibatch.py:116).
+    cv2.imread when available — the reference's exact decoder, and it skips
+    the RGB->BGR copy; PIL fallback otherwise."""
+    if _cv2 is not None:
+        bgr = _cv2.imread(path, _cv2.IMREAD_COLOR)
+        if bgr is not None:
+            return np.ascontiguousarray(bgr[:, ::-1]) if flipped else bgr
     with Image.open(path) as img:
         rgb = np.asarray(img.convert("RGB"))
     if flipped:

@@ -354,11 +354,13 @@ class COCOEvaluator:
         def _summ(prec=True, iou=None, area="all", max_det=100):
             if area not in self.area_rngs:
                 return -1.0  # e.g. APs under the keypoint protocol
+            if max_det not in self.max_dets:
+                # Same treatment as a missing area: never silently summarize
+                # at a different maxDets than the key claims (the keypoint
+                # protocol has max_dets=(20,), so AR1/AR10/AR100 don't exist).
+                return -1.0
             ai = list(self.area_rngs).index(area)
-            mi = (
-                self.max_dets.index(max_det)
-                if max_det in self.max_dets else len(self.max_dets) - 1
-            )
+            mi = self.max_dets.index(max_det)
             if prec:
                 s = precision[:, :, :, ai, mi]
                 if iou is not None:
@@ -370,20 +372,37 @@ class COCOEvaluator:
             s = s[s > -1]
             return float(np.mean(s)) if s.size else -1.0
 
-        results = {
-            "AP": _summ(),
-            "AP50": _summ(iou=0.5),
-            "AP75": _summ(iou=0.75),
-            "APs": _summ(area="small"),
-            "APm": _summ(area="medium"),
-            "APl": _summ(area="large"),
-            "AR1": _summ(prec=False, max_det=1),
-            "AR10": _summ(prec=False, max_det=10),
-            "AR100": _summ(prec=False, max_det=100),
-            "ARs": _summ(prec=False, area="small"),
-            "ARm": _summ(prec=False, area="medium"),
-            "ARl": _summ(prec=False, area="large"),
-        }
+        if self.iou_type == "keypoints":
+            # pycocotools keypoint protocol (cocoeval.py summarizeKps):
+            # everything at maxDets=20; AR50/AR75 instead of AR1/AR10.
+            md = self.max_dets[-1]
+            results = {
+                "AP": _summ(max_det=md),
+                "AP50": _summ(iou=0.5, max_det=md),
+                "AP75": _summ(iou=0.75, max_det=md),
+                "APm": _summ(area="medium", max_det=md),
+                "APl": _summ(area="large", max_det=md),
+                "AR": _summ(prec=False, max_det=md),
+                "AR50": _summ(prec=False, iou=0.5, max_det=md),
+                "AR75": _summ(prec=False, iou=0.75, max_det=md),
+                "ARm": _summ(prec=False, area="medium", max_det=md),
+                "ARl": _summ(prec=False, area="large", max_det=md),
+            }
+        else:
+            results = {
+                "AP": _summ(),
+                "AP50": _summ(iou=0.5),
+                "AP75": _summ(iou=0.75),
+                "APs": _summ(area="small"),
+                "APm": _summ(area="medium"),
+                "APl": _summ(area="large"),
+                "AR1": _summ(prec=False, max_det=1),
+                "AR10": _summ(prec=False, max_det=10),
+                "AR100": _summ(prec=False, max_det=100),
+                "ARs": _summ(prec=False, area="small"),
+                "ARm": _summ(prec=False, area="medium"),
+                "ARl": _summ(prec=False, area="large"),
+            }
         if verbose:
             for k, v in results.items():
                 print(f"  {k}: {v:.4f}")

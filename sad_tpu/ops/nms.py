@@ -21,8 +21,11 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-NEG_INF = jnp.float32(-1e30)
+# np scalar, not jnp: module-level jnp would initialize the device
+# backend at import time (breaks hermetic CPU-mesh dryruns; VERDICT r1).
+NEG_INF = np.float32(-1e30)
 
 
 def _iou_one_vs_all(box: jnp.ndarray, boxes: jnp.ndarray) -> jnp.ndarray:

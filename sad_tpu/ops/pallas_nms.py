@@ -27,10 +27,13 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-NEG_INF = jnp.float32(-1e30)
+# np scalar, not jnp: module-level jnp would initialize the device
+# backend at import time (breaks hermetic CPU-mesh dryruns; VERDICT r1).
+NEG_INF = np.float32(-1e30)
 _NEG = -1e30  # python float: kernels must not capture traced constants
 LANES = 128
 # whole-array VMEM blocks: 5 f32 planes of K lanes + intermediates must fit

@@ -9,6 +9,11 @@ from typing import List, Tuple
 
 import numpy as np
 
+try:  # fast C path when available; the numpy kernel below is the oracle
+    import cv2 as _cv2
+except ImportError:  # pragma: no cover
+    _cv2 = None
+
 COCO_KEYPOINTS = [
     "nose", "left_eye", "right_eye", "left_ear", "right_ear",
     "left_shoulder", "right_shoulder", "left_elbow", "right_elbow",
@@ -58,7 +63,17 @@ def _cubic_weights(frac: np.ndarray, a: float = -0.75) -> np.ndarray:
 
 def _resize_bicubic(m: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """cv2.resize(..., INTER_CUBIC) semantics on an (S, S, K) float map:
-    half-pixel sampling grid, Keys a=-0.75 kernel, clamped borders."""
+    half-pixel sampling grid, Keys a=-0.75 kernel, clamped borders.
+    Delegates to real cv2 when importable (verified equal within float
+    tolerance, tests/test_aux_surface.py); numpy path = fallback/oracle."""
+    if _cv2 is not None:
+        out = _cv2.resize(
+            np.ascontiguousarray(m), (out_w, out_h),
+            interpolation=_cv2.INTER_CUBIC,
+        )
+        if out.ndim == 2:  # cv2 drops a size-1 channel dim
+            out = out[:, :, None]
+        return out
     in_h, in_w = m.shape[:2]
 
     def axis(out_n, in_n):

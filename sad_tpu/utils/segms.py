@@ -12,6 +12,11 @@ from typing import List, Sequence
 import numpy as np
 from PIL import Image, ImageDraw
 
+try:  # fast C path when available; the numpy kernel below is the oracle
+    import cv2 as _cv2
+except ImportError:  # pragma: no cover
+    _cv2 = None
+
 
 def polys_to_mask(polygons: Sequence[Sequence[float]], height: int, width: int) -> np.ndarray:
     """Rasterize COCO polygon(s) -> binary (height, width) mask."""
@@ -70,7 +75,18 @@ def _resize_bilinear(m: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """cv2.resize(..., INTER_LINEAR) semantics on a 2-D (or HWC 3-D) float
     map: half-pixel sampling grid, 2-tap linear weights, clamped borders —
     NO antialiasing on downscale (PIL's BILINEAR antialiases; cv2's
-    INTER_LINEAR does not)."""
+    INTER_LINEAR does not). Delegates to real cv2 when importable (verified
+    equal to the numpy kernel within float tolerance,
+    tests/test_aux_surface.py); the numpy path is the no-cv2 fallback and
+    the cross-check oracle."""
+    if _cv2 is not None:
+        out = _cv2.resize(
+            np.ascontiguousarray(m), (out_w, out_h),
+            interpolation=_cv2.INTER_LINEAR,
+        )
+        if m.ndim == 3 and out.ndim == 2:  # cv2 drops a size-1 channel dim
+            out = out[:, :, None]
+        return out
     in_h, in_w = m.shape[:2]
 
     def axis(out_n, in_n):

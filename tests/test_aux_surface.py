@@ -411,3 +411,42 @@ class TestVis:
         pairs = kp_connections()
         assert len(pairs) == 15
         assert all(0 <= a < 17 and 0 <= b < 17 for a, b in pairs)
+
+
+class TestCv2Delegation:
+    """When real cv2 is importable, the resize kernels delegate to it; these
+    tests pin that the delegated outputs equal the numpy oracles (so either
+    path can serve the parity claims)."""
+
+    def test_bilinear_cv2_equals_numpy_oracle(self):
+        cv2 = pytest.importorskip("cv2")
+        import sad_tpu.utils.segms as segms
+
+        rng = np.random.RandomState(0)
+        for h, w, oh, ow in [(480, 640, 300, 400), (7, 5, 31, 17),
+                             (100, 100, 643, 211)]:
+            m = (rng.rand(h, w, 3) * 255).astype(np.float32)
+            got = segms._resize_bilinear(m, oh, ow)
+            orig, segms._cv2 = segms._cv2, None
+            try:
+                want = segms._resize_bilinear(m, oh, ow)
+            finally:
+                segms._cv2 = orig
+            np.testing.assert_allclose(got, want, atol=1e-3)
+            assert got.shape == want.shape
+
+    def test_bicubic_cv2_equals_numpy_oracle(self):
+        cv2 = pytest.importorskip("cv2")
+        import sad_tpu.utils.keypoints as kp
+
+        rng = np.random.RandomState(1)
+        for h, w, k, oh, ow in [(14, 14, 17, 120, 85), (8, 8, 1, 33, 57)]:
+            m = rng.rand(h, w, k).astype(np.float32)
+            got = kp._resize_bicubic(m, oh, ow)
+            orig, kp._cv2 = kp._cv2, None
+            try:
+                want = kp._resize_bicubic(m, oh, ow)
+            finally:
+                kp._cv2 = orig
+            np.testing.assert_allclose(got, want, atol=1e-5)
+            assert got.shape == want.shape

@@ -202,6 +202,12 @@ class TestKeypointEval:
         assert "small" not in ev.area_rngs
         res = ev.evaluate(perfect)
         assert res["AP"] == pytest.approx(1.0)
+        # Keypoint summarize emits the pycocotools keypoint stat set:
+        # everything at maxDets=20 (AR, AR50, AR75), never AR1/AR10/AR100
+        # silently computed at a different maxDets.
+        assert set(res) == {"AP", "AP50", "AP75", "APm", "APl",
+                            "AR", "AR50", "AR75", "ARm", "ARl"}
+        assert res["AR"] == pytest.approx(1.0)
         far = [{"image_id": 1, "category_id": 1, "score": 0.9,
                 "bbox": [10, 10, 40, 40],
                 "keypoints": [80, 80, 2, 90, 90, 2, 95, 95, 2]}]

@@ -25,8 +25,8 @@ def unlabeled_dataset(tmp_path_factory):
     for i in range(1, 5):
         arr = np.full((64, 96, 3), 110, np.uint8)
         # a bright square so a random-init model still scores SOMETHING
-        arr[20:40, 30:60] = [250, 40, 40]
-        arr += rng.randint(0, 8, arr.shape).astype(np.uint8)
+        arr[20:40, 30:60] = [247, 40, 40]
+        arr += rng.randint(0, 8, arr.shape).astype(np.uint8)  # 247+7 <= 255
         Image.fromarray(arr).save(img_dir / f"{i:06d}.jpg")
         images.append(
             {"id": i, "file_name": f"{i:06d}.jpg", "height": 64, "width": 96}

@@ -92,6 +92,10 @@ def time_step(cfg, model, params, batch, n_images, chunk):
         step = jax.jit(
             make_rcnn_train_step(cfg, model, n_groups=1), donate_argnums=(0,)
         )
+        # The step donates its state, which would invalidate the shared
+        # `params` buffers for every later chunk value — give each chunk
+        # its own copies.
+        params = jax.tree.map(lambda x: jnp.array(x, copy=True), params)
         state = TrainState(params, init_momentum_state(params).velocity)
         lr = jnp.float32(1e-6)
         key = jax.random.PRNGKey(3)

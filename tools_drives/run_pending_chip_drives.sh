@@ -21,7 +21,9 @@ run() {
   rc=$?
   echo "--- $name rc=$rc; tail:"
   tail -5 "tools_drives/logs/$name.log"
+  fail=$(( fail || rc ))
 }
+fail=0
 
 # 1. Keypoint R-CNN train-step throughput at the reference keypoint geometry
 #    (the drive that was in flight when the tunnel wedged). Baseline:
@@ -38,4 +40,5 @@ run pseudo_scale python tools_drives/pseudo_label_scale_drive.py
 # 4. bench sanity (the driver also runs this at round end)
 run bench python bench.py
 
-echo "=== all queued drives attempted; logs in tools_drives/logs/"
+echo "=== all queued drives attempted; logs in tools_drives/logs/ (fail=$fail)"
+exit $fail
