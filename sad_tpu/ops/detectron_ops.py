@@ -47,7 +47,11 @@ def roi_align(
     spatial_scale: float,
     resolution: int,
     sampling_ratio: int = 2,
-    roi_chunk: int = 64,
+    # 256 is the warmup-aware bisection winner on the v5e chip: 41.8 ms
+    # full Faster R-CNN step vs 43.4 at 64 and 44.7 at 512
+    # (tools_drives/roi_chunk_bisect_drive.py, BENCH_NOTES.md); the earlier
+    # 604 ms reading for 256 was a cold-executable window.
+    roi_chunk: int = 256,
 ) -> jnp.ndarray:
     """RoIAlign, exact Detectron semantics (roi_align_op.cu:89-160): no
     rounding of roi coords, malformed rois forced to 1x1, average of an
