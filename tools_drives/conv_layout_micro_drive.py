@@ -1,0 +1,90 @@
+"""Chip micro-drive: NHWC vs NCHW logical conv layouts at SAD-step shapes.
+
+BENCH_NOTES' step profile says the joint SAD step is spread across
+bandwidth-bound conv fusions; the untested lever was logical layout
+(ROADMAP #2: "NCHW experiment would mean custom dimension_numbers through
+every Flax conv — high effort, uncertain gain"). Before committing to that
+refactor, time raw lax.conv_general_dilated fwd+bwd in both layouts at the
+step's representative shapes (R-50 trunk stages at 640x1024 + the shared
+RetinaNet head tower at P3), bf16 IO like the step. If NCHW shows no
+reliable win here, the refactor is dead and this drive is the ceiling
+proof.
+
+Run: PYTHONPATH="/root/repo:$PYTHONPATH" python tools_drives/conv_layout_micro_drive.py
+"""
+
+import functools
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# (name, N, H, W, Cin, Cout, k, stride) at bs8 (one group row of the bs32
+# bench; per-conv traffic scales linearly so the layout verdict transfers)
+SHAPES = [
+    ("res2_3x3", 8, 160, 256, 64, 64, 3, 1),
+    ("res3_3x3", 8, 80, 128, 128, 128, 3, 1),
+    ("res4_3x3", 8, 40, 64, 256, 256, 3, 1),
+    ("res4_1x1_expand", 8, 40, 64, 256, 1024, 1, 1),
+    ("res5_3x3", 8, 20, 32, 512, 512, 3, 1),
+    ("head_tower_p3", 8, 80, 128, 256, 256, 3, 1),
+    ("head_pred_p3", 8, 80, 128, 256, 720, 3, 1),
+]
+
+
+def bench_layout(layout, n, h, w, cin, cout, k, stride):
+    if layout == "NHWC":
+        dn = jax.lax.conv_dimension_numbers(
+            (n, h, w, cin), (k, k, cin, cout), ("NHWC", "HWIO", "NHWC"))
+        x = jnp.zeros((n, h, w, cin), jnp.bfloat16)
+        kern = jnp.zeros((k, k, cin, cout), jnp.bfloat16)
+    else:
+        dn = jax.lax.conv_dimension_numbers(
+            (n, cin, h, w), (cout, cin, k, k), ("NCHW", "OIHW", "NCHW"))
+        x = jnp.zeros((n, cin, h, w), jnp.bfloat16)
+        kern = jnp.zeros((cout, cin, k, k), jnp.bfloat16)
+
+    def fwd_loss(x, kern):
+        y = jax.lax.conv_general_dilated(
+            x, kern, (stride, stride), "SAME", dimension_numbers=dn,
+            preferred_element_type=jnp.float32)
+        return jnp.sum(y.astype(jnp.float32) ** 2)
+
+    step = jax.jit(jax.grad(fwd_loss, argnums=(0, 1)))
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, x.shape, jnp.bfloat16)
+    kern = jax.random.normal(key, kern.shape, jnp.bfloat16)
+    gx, gk = step(x, kern)
+    jax.block_until_ready(gx)
+    # warmup windows until two agree within 3% (axon fresh-executable tail)
+    prev = None
+    for _ in range(12):
+        t0 = time.perf_counter()
+        for _ in range(10):
+            gx, gk = step(x + gx.astype(jnp.bfloat16) * 0, kern)
+        jax.block_until_ready(gx)
+        cur = (time.perf_counter() - t0) / 10
+        if prev is not None and abs(cur - prev) / cur < 0.03:
+            break
+        prev = cur
+    t0 = time.perf_counter()
+    iters = 30
+    for _ in range(iters):
+        gx, gk = step(x, kern)
+    jax.block_until_ready(gx)
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def main():
+    for name, n, h, w, cin, cout, k, s in SHAPES:
+        r = {"shape": name}
+        for layout in ("NHWC", "NCHW"):
+            r[layout + "_ms"] = round(bench_layout(layout, n, h, w, cin, cout, k, s), 3)
+        r["nchw_speedup"] = round(r["NHWC_ms"] / r["NCHW_ms"], 3)
+        print(json.dumps(r), flush=True)
+
+
+if __name__ == "__main__":
+    main()
