@@ -47,34 +47,58 @@ def bench_layout(layout, n, h, w, cin, cout, k, stride):
         kern = jnp.zeros((cout, cin, k, k), jnp.bfloat16)
 
     def fwd_loss(x, kern):
+        # bf16-in/bf16-out like the step's Flax convs (MXU accumulates f32
+        # internally either way); keeping cotangents bf16 also matches the
+        # step's backward and keeps the transpose convs well-typed
         y = jax.lax.conv_general_dilated(
-            x, kern, (stride, stride), "SAME", dimension_numbers=dn,
-            preferred_element_type=jnp.float32)
+            x, kern, (stride, stride), "SAME", dimension_numbers=dn)
         return jnp.sum(y.astype(jnp.float32) ** 2)
 
-    step = jax.jit(jax.grad(fwd_loss, argnums=(0, 1)))
+    # The axon serving stack memoizes repeated dispatches with identical
+    # inputs (BENCH_NOTES memoization hazard) — the first version of this
+    # drive read 0.02 ms for a 72-GFLOP fwd+bwd (3,300 TFLOP/s: fiction).
+    # Evolve the activation INSIDE a scan so every iteration is real work,
+    # and feed the carry back between dispatches so outer calls differ too.
+    # gk feeds the carry scalar so the weight-grad conv can't be DCE'd.
+    INNER = 20
+
+    def body(carry, _):
+        x, s = carry
+        gx, gk = jax.grad(fwd_loss, argnums=(0, 1))(x, kern)
+        g32 = gx.astype(jnp.float32)
+        scale = jax.lax.rsqrt(jnp.mean(jnp.square(g32)) + 1e-6)
+        x_new = (g32 * scale).astype(jnp.bfloat16)
+        return (x_new, s + jnp.mean(gk.astype(jnp.float32))), None
+
+    @jax.jit
+    def chain(x, s):
+        (x, s), _ = jax.lax.scan(body, (x, s), None, length=INNER)
+        return x, s
+
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(key, x.shape, jnp.bfloat16)
     kern = jax.random.normal(key, kern.shape, jnp.bfloat16)
-    gx, gk = step(x, kern)
-    jax.block_until_ready(gx)
+    s = jnp.float32(0.0)
+    x, s = chain(x, s)
+    jax.block_until_ready(s)
     # warmup windows until two agree within 3% (axon fresh-executable tail)
     prev = None
     for _ in range(12):
         t0 = time.perf_counter()
-        for _ in range(10):
-            gx, gk = step(x + gx.astype(jnp.bfloat16) * 0, kern)
-        jax.block_until_ready(gx)
-        cur = (time.perf_counter() - t0) / 10
+        for _ in range(2):
+            x, s = chain(x, s)
+        jax.block_until_ready(s)
+        cur = (time.perf_counter() - t0) / (2 * INNER)
         if prev is not None and abs(cur - prev) / cur < 0.03:
             break
         prev = cur
     t0 = time.perf_counter()
-    iters = 30
-    for _ in range(iters):
-        gx, gk = step(x, kern)
-    jax.block_until_ready(gx)
-    return (time.perf_counter() - t0) / iters * 1e3
+    calls = 5
+    for _ in range(calls):
+        x, s = chain(x, s)
+    jax.block_until_ready(s)
+    assert np.isfinite(float(s))
+    return (time.perf_counter() - t0) / (calls * INNER) * 1e3
 
 
 def main():
