@@ -167,6 +167,14 @@ class TestConfig:
     # TEST.SAVE_RES dump path (test_retinanet.py:97-101) with a config option.
     SAVE_RES: bool = False
     SAVE_RES_DIR: str = ""
+    # Reference-exact per-level top-N candidate selection
+    # (test_retinanet.py:136-139 argpartitions the full score vector). When
+    # False, TPU decode may use jax.lax.approx_max_k (PartialReduce,
+    # recall_target 0.99) — ~10x faster over the multi-million-score P3 grid;
+    # measured mAP delta vs exact on a dense 512-image synthetic set: see
+    # BENCH_NOTES.md (topk_parity_drive). Eval defaults to exact; throughput
+    # benches opt into approx.
+    EXACT_TOPK: bool = True
     PROPOSAL_FILES: Tuple[str, ...] = ()
     PROPOSAL_LIMIT: int = 2000
     COMPETITION_MODE: bool = True

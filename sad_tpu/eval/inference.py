@@ -41,6 +41,7 @@ def _level_candidates(
     stride: float,
     threshold: float,
     top_n: int,
+    exact_topk: bool,
 ) -> Tuple[jnp.ndarray, ...]:
     """Top candidates for one level of one image.
 
@@ -50,11 +51,13 @@ def _level_candidates(
     flat = probs.reshape(-1)
     k = min(top_n, flat.shape[0])
     masked = jnp.where(flat > threshold, flat, NEG_INF)
-    if k < flat.shape[0] and jax.default_backend() == "tpu":
-        # TPU PartialReduce top-k: ~an order of magnitude faster than the
-        # sort-based exact top_k over the multi-million-score P3 grid, at
-        # 0.99 recall of the top-1000 (mAP-neutral: dropped candidates are
-        # near-threshold duplicates that NMS would suppress)
+    if k < flat.shape[0] and not exact_topk:
+        # TPU PartialReduce top-k (TEST.EXACT_TOPK=False): ~an order of
+        # magnitude faster than the sort-based exact top_k over the
+        # multi-million-score P3 grid, at 0.99 recall of the top-1000.
+        # Measured AP delta vs exact: topk_parity_drive / BENCH_NOTES.md.
+        # On non-TPU backends this lowers to an exact fallback, so the CPU
+        # suite exercises the same code path (tests/test_parity_e2e.py).
         scores, inds = jax.lax.approx_max_k(masked, k, recall_target=0.99)
     else:
         scores, inds = jax.lax.top_k(masked, k)
@@ -118,6 +121,7 @@ def decode_detections(
                 float(2.0 ** lvl),
                 th,
                 cfg.RETINANET.PRE_NMS_TOP_N,
+                cfg.TEST.EXACT_TOPK,
             )
             all_boxes.append(b)
             all_scores.append(s)
