@@ -10,8 +10,11 @@ Design: worker processes each hold a private copy of the roidb(s) and the
 minibatch builder (shipped once at spawn). A dispatcher thread in the parent
 samples batch index lists from the SAME epoch-shuffled, aspect-grouped
 streams as the threaded loader (loader._Stream) and assigns the SAME
-deterministic per-batch seeds, so a 1-worker run is batch-for-batch identical
-to a 1-thread TrainingLoader. Built batches (pytrees of numpy arrays) return
+deterministic per-batch seeds; the collector restores DISPATCH order with
+per-stream sequence numbers, so the surfaced batch stream is byte-identical
+to a 1-thread TrainingLoader for ANY num_workers (reproducible training
+independent of host parallelism — stronger than the reference's
+completion-ordered threads). Built batches (pytrees of numpy arrays) return
 through a multiprocessing queue — pickle-5 buffer frames make this a memcpy
 through an OS pipe — into per-stream host queues; the consumer-facing
 surface (get_next_batch with strict labeled/unlabeled parity alternation,
@@ -63,14 +66,14 @@ def _worker_loop(task_q, result_q, builder, roidbs):
         task = task_q.get()
         if task == _SENTINEL:
             return
-        stream, indices, seed = task
+        stream, seq, indices, seed = task
         try:
             entries = [_W["roidbs"][stream][i] for i in indices]
             built = _W["builder"].build(entries, seed=seed)
             batch = built.as_pytree() if hasattr(built, "as_pytree") else built
-            result_q.put((stream, batch))
+            result_q.put((stream, seq, batch))
         except BaseException:  # noqa: BLE001 — ship to parent
-            result_q.put((_ERROR, traceback.format_exc()))
+            result_q.put((_ERROR, 0, traceback.format_exc()))
             return
 
 
@@ -113,6 +116,15 @@ class MultiprocessTrainingLoader:
 
         self._queues: Dict[str, queue.Queue] = {
             name: queue.Queue(queue_capacity) for name in self._streams
+        }
+        # order restoration: batches are surfaced in DISPATCH order, not
+        # completion order, so the batch stream is byte-identical for any
+        # num_workers (reproducible training independent of host parallelism;
+        # the threaded loader and the reference are completion-ordered).
+        self._dispatch_seq = {name: itertools.count() for name in self._streams}
+        self._next_seq = {name: 0 for name in self._streams}
+        self._pending: Dict[str, Dict[int, object]] = {
+            name: {} for name in self._streams
         }
         self._inflight = {name: 0 for name in self._streams}
         self._inflight_lock = threading.Lock()
@@ -207,35 +219,49 @@ class MultiprocessTrainingLoader:
             bseed = (self._seed * 1_000_003 + next(self._build_counter)) % (
                 2**31
             )
-            self._task_q.put((name, idxs, bseed))
+            self._task_q.put((name, next(self._dispatch_seq[name]), idxs, bseed))
+
+    def _check_dead_workers(self) -> bool:
+        """Liveness: a worker that died WITHOUT shipping a traceback
+        (OOM-kill, SIGKILL, segfault in native code) would otherwise hang the
+        consumer — its claimed _inflight slot (or its hole in the restored
+        sequence) is never released, so even ONE such death eventually
+        starves the pipeline. Any abnormal exit is fatal (the threaded
+        loader always raises); exitcode 0 means a clean return whose _ERROR
+        message, if any, is already in the queue. Called periodically from
+        the collector REGARDLESS of result traffic: with N-1 surviving
+        workers the result pipe may never starve, so starvation alone is
+        not a usable death signal."""
+        dead = [
+            p for p in self._procs
+            if not p.is_alive() and p.exitcode not in (None, 0)
+        ]
+        if dead:
+            codes = [p.exitcode for p in dead]
+            self._error = RuntimeError(
+                f"{len(dead)} minibatch worker(s) died (exit codes "
+                f"{codes}) without reporting an error — likely OOM "
+                "or a native crash"
+            )
+            self._stop.set()
+            return True
+        return False
 
     def _collect(self):
+        import time
+
+        last_scan = time.monotonic()
         while not self._stop.is_set():
+            now = time.monotonic()
+            if now - last_scan > 0.5:
+                last_scan = now
+                if self._check_dead_workers():
+                    return
             try:
-                kind, payload = self._result_q.get(timeout=0.5)
+                kind, seq, payload = self._result_q.get(timeout=0.5)
             except queue.Empty:
-                # liveness: a worker that died WITHOUT shipping a traceback
-                # (OOM-kill, segfault in native code) would otherwise hang
-                # the consumer — its claimed _inflight slot is never
-                # released, so even ONE such death eventually starves the
-                # dispatcher. Any abnormal exit is fatal (the threaded
-                # loader always raises); exitcode 0 means a clean return
-                # whose _ERROR message, if any, is already in the queue.
                 if self._stop.is_set():
                     return  # shutdown terminates workers (exitcode -15)
-                dead = [
-                    p for p in self._procs
-                    if not p.is_alive() and p.exitcode not in (None, 0)
-                ]
-                if dead:
-                    codes = [p.exitcode for p in dead]
-                    self._error = RuntimeError(
-                        f"{len(dead)} minibatch worker(s) died (exit codes "
-                        f"{codes}) without reporting an error — likely OOM "
-                        "or a native crash"
-                    )
-                    self._stop.set()
-                    return
                 continue
             except (EOFError, OSError):
                 return
@@ -245,14 +271,24 @@ class MultiprocessTrainingLoader:
                 )
                 self._stop.set()
                 return
-            while not self._stop.is_set():
-                try:
-                    self._queues[kind].put(payload, timeout=0.5)
-                    break
-                except queue.Full:
-                    continue
-            with self._inflight_lock:
-                self._inflight[kind] -= 1
+            # restore dispatch order: hold out-of-order completions until
+            # every earlier sequence number for this stream has surfaced
+            self._pending[kind][seq] = payload
+            while self._next_seq[kind] in self._pending[kind]:
+                item = self._pending[kind].pop(self._next_seq[kind])
+                enqueued = False
+                while not self._stop.is_set():
+                    try:
+                        self._queues[kind].put(item, timeout=0.5)
+                        enqueued = True
+                        break
+                    except queue.Full:
+                        continue
+                if not enqueued:
+                    return
+                self._next_seq[kind] += 1
+                with self._inflight_lock:
+                    self._inflight[kind] -= 1
 
     # ------------------------------------------------------------- consumer
 

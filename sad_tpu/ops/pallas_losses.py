@@ -1,5 +1,17 @@
 """Fused Pallas TPU kernel for the RetinaNet classification losses.
 
+STATUS: FROZEN — measured demonstration, no new features. Three designs
+(masked, group-accumulating, aligned-tile) all measured ~3% BEHIND XLA's
+multi-output fusion at the SAD-step shapes (BENCH_NOTES.md round-2: 103.3 vs
+106.4 imgs/s at bs32): the loss pass is VPU-transcendental-bound near its HBM
+floor, so there is nothing left for a hand kernel to win. USE_PALLAS_LOSSES
+stays False. The kernel remains in-tree as the honest negative result and a
+Pallas reference; tests/test_pallas_losses.py asserts jnp/Pallas numeric
+lockstep, so any change to ops/losses.py that drifts the math fails the
+suite rather than silently desynchronizing the two implementations. Do not
+extend this kernel for new loss features — change ops/losses.py and let the
+lockstep test flag whether this file must follow or be deleted.
+
 ONE pass over the dense per-anchor grid computes, per device-group, the raw
 (un-normalized) sums of
 

@@ -18,6 +18,8 @@ from sad_tpu.tools.convert_cityscapes_to_coco import (
     convert_cityscapes_instance_only,
 )
 
+pytestmark = pytest.mark.e2e  # heavyweight: excluded from the default run (pytest.ini)
+
 CITY = "frankfurt"
 
 

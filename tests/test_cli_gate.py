@@ -22,6 +22,8 @@ from PIL import Image
 from sad_tpu.config import register_dataset
 from sad_tpu.eval.task_evaluation import ExpectedResultsError
 
+pytestmark = pytest.mark.e2e  # heavyweight: excluded from the default run (pytest.ini)
+
 DATASET = "cli_gate_synth"
 
 

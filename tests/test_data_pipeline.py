@@ -458,6 +458,65 @@ class TestMultiprocessLoader:
         finally:
             loader.shutdown()
 
+    def test_four_workers_deterministic_vs_one(self, synth_dataset):
+        """Order restoration makes the surfaced batch stream byte-identical
+        for ANY worker count — 4 workers (on this 1-core host they timeshare,
+        which maximizes out-of-order completion) must reproduce the 1-worker
+        stream batch for batch."""
+        from sad_tpu.data.mp_loader import MultiprocessTrainingLoader
+
+        cfg = tiny_train_cfg()
+        ds = CocoDataset(synth_dataset)
+        roidb = ds.get_roidb()
+
+        def take(num_workers, n):
+            loader = MultiprocessTrainingLoader(
+                cfg, roidb, batch_images=2, num_workers=num_workers,
+                queue_capacity=3,
+            ).start()
+            try:
+                return [loader.get_next_batch() for _ in range(n)]
+            finally:
+                loader.shutdown()
+
+        ref = take(1, 6)
+        four = take(4, 6)
+        for a, b in zip(ref, four):
+            assert set(a) == set(b)
+            np.testing.assert_array_equal(a["data_u8"], b["data_u8"])
+            np.testing.assert_array_equal(a["fg_num"], b["fg_num"])
+            for lvl in cfg.fpn_levels():
+                np.testing.assert_array_equal(a["labels"][lvl], b["labels"][lvl])
+
+    def test_kill9_mid_epoch_propagates_no_hang(self, synth_dataset):
+        """SIGKILL one of 4 workers while the loader is live: the consumer
+        must get a RuntimeError (dead-worker detection via the seq hole +
+        liveness probe), not hang — the analogue of the reference
+        coordinator's abort semantics (lib/utils/coordinator.py:32-66)."""
+        import os
+        import signal
+        import time
+
+        from sad_tpu.data.mp_loader import MultiprocessTrainingLoader
+
+        cfg = tiny_train_cfg()
+        ds = CocoDataset(synth_dataset)
+        roidb = ds.get_roidb()
+        loader = MultiprocessTrainingLoader(
+            cfg, roidb, batch_images=2, num_workers=4, queue_capacity=2,
+        ).start()
+        try:
+            loader.get_next_batch()  # loader demonstrably live
+            os.kill(loader._procs[0].pid, signal.SIGKILL)
+            deadline = time.monotonic() + 60.0
+            with pytest.raises(RuntimeError) as exc_info:
+                while time.monotonic() < deadline:
+                    loader.get_next_batch()
+                pytest.fail("no error surfaced within 60s of SIGKILL")
+            assert "died" in str(exc_info.value.__cause__)
+        finally:
+            loader.shutdown()
+
     def test_propagates_worker_errors(self, synth_dataset):
         from sad_tpu.data.mp_loader import MultiprocessTrainingLoader
 

@@ -22,6 +22,8 @@ import pytest
 from sad_tpu.config.config import merge_cfg_from_dict
 from tests.test_rcnn import rcnn_cfg
 
+pytestmark = pytest.mark.e2e  # heavyweight: excluded from the default run (pytest.ini)
+
 
 @pytest.fixture(scope="module")
 def kp_mask_setup(tmp_path_factory):

@@ -24,6 +24,8 @@ from sad_tpu.config.config import merge_cfg_from_dict
 from sad_tpu.data.dataset import CocoDataset, combined_roidb_for_training
 from sad_tpu.data.loader import TrainingLoader
 
+pytestmark = pytest.mark.e2e  # heavyweight: excluded from the default run (pytest.ini)
+
 
 def _make_dataset(root, name, n_images, fill):
     img_dir = root / name

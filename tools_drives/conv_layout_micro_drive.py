@@ -10,6 +10,12 @@ RetinaNet head tower at P3), bf16 IO like the step. If NCHW shows no
 reliable win here, the refactor is dead and this drive is the ceiling
 proof.
 
+Caveat on ABSOLUTE numbers: the scan body's RMS normalization (f32 cast of
+the full activation gradient, mean-of-squares, rsqrt, mean(gk)) is inside
+the timed region. It is layout-independent — it cannot bias the NHWC-vs-NCHW
+comparison — but it inflates absolute ms, compresses relative speedups
+toward 1.0, and makes quoted TFLOP/s a LOWER bound on the true conv rate.
+
 Run: PYTHONPATH="/root/repo:$PYTHONPATH" python tools_drives/conv_layout_micro_drive.py
 """
 
