@@ -19,7 +19,6 @@ enqueue threads + Caffe2 BlobsQueue), TPU-redesigned:
 
 from __future__ import annotations
 
-import itertools
 import queue
 import threading
 from typing import Dict, List, Optional
@@ -41,6 +40,16 @@ class _Stream:
             )
         self.roidb = roidb
         self.batch_images = batch_images
+        # Per-stream batch-seed schedule: the k-th batch drawn from THIS
+        # stream always gets seed (seed*1_000_003 + k), paired atomically
+        # with the index draw. A global build counter (the previous design)
+        # made two-stream runs irreproducible: the labeled/unlabeled
+        # interleaving — and therefore the seed each batch got — depended on
+        # queue timing. Per-stream counters make stream contents a pure
+        # function of (roidb, seed, k), which is also what lets a resumed
+        # run fast-forward to the exact batch sequence (skip()).
+        self._seed = seed
+        self.count = 0
         self.rng = np.random.RandomState(seed)
         self.landscape = [
             i for i, e in enumerate(roidb) if e["width"] >= e["height"]
@@ -64,6 +73,12 @@ class _Stream:
         self._cursors[key] = 0
 
     def next_batch_indices(self) -> List[int]:
+        return self.next_batch_indices_seeded()[0]
+
+    def next_batch_indices_seeded(self) -> tuple:
+        """(indices, batch_seed, seq) for the stream's next batch; the
+        triple is drawn atomically so concurrent callers cannot mismatch
+        draw, seed, and sequence position."""
         with self._lock:
             # prefer whichever orientation pool has more remaining
             keys = [k for k in ("l", "p") if len(self._pool(k)) >= 1]
@@ -77,10 +92,31 @@ class _Stream:
                     self._reshuffle(key)
                 idxs.append(self._shuffled[key][self._cursors[key]])
                 self._cursors[key] += 1
-        return idxs
+            seq = self.count
+            bseed = (self._seed * 1_000_003 + seq) % (2 ** 31)
+            self.count += 1
+        return idxs, bseed, seq
 
     def next_batch(self) -> List[dict]:
         return [self.roidb[i] for i in self.next_batch_indices()]
+
+    def skip(self, n: int) -> None:
+        """Fast-forward n batch draws (resume support: a run resumed at iter
+        k replays the identical batch sequence from k onward)."""
+        for _ in range(n):
+            self.next_batch_indices_seeded()
+
+
+def fast_forward_streams(labeled, unlabeled, skip_batches: int) -> None:
+    """Advance stream draws to position `skip_batches` of the CONSUMED
+    sequence (resume support). With an unlabeled stream the consumer
+    alternates by parity — labeled on even batches — so the labeled stream
+    has supplied ceil(k/2) batches and the unlabeled floor(k/2)."""
+    if unlabeled is not None:
+        labeled.skip((skip_batches + 1) // 2)
+        unlabeled.skip(skip_batches // 2)
+    else:
+        labeled.skip(skip_batches)
 
 
 class TrainingLoader:
@@ -97,6 +133,7 @@ class TrainingLoader:
         queue_capacity: int = 4,
         seed: int = 3,
         builder=None,
+        skip_batches: int = 0,
     ):
         self.cfg = cfg
         # builder: any object with canvas_for(entry) + build(entries) —
@@ -111,7 +148,6 @@ class TrainingLoader:
             else None
         )
         self._seed = seed
-        self._build_counter = itertools.count()  # next() is atomic in CPython
         self._queues = {"labeled": queue.Queue(queue_capacity)}
         if self.unlabeled:
             self._queues["unlabeled"] = queue.Queue(queue_capacity)
@@ -122,6 +158,22 @@ class TrainingLoader:
             for i in range(num_threads)
         ]
         self._batch_parity = 0
+        # order restoration (same design as mp_loader): builds complete in
+        # thread order, but the consumer surfaces them in DRAW order, so the
+        # batch stream is deterministic for any num_threads
+        self._next_seq = {"labeled": 0}
+        self._pending: Dict[str, Dict[int, Dict]] = {"labeled": {}}
+        if self.unlabeled:
+            self._next_seq["unlabeled"] = 0
+            self._pending["unlabeled"] = {}
+        if skip_batches:
+            fast_forward_streams(
+                self.labeled, self.unlabeled, skip_batches
+            )
+            self._batch_parity = skip_batches
+            self._next_seq["labeled"] = self.labeled.count
+            if self.unlabeled:
+                self._next_seq["unlabeled"] = self.unlabeled.count
 
     # ------------------------------------------------------------- threads
 
@@ -145,15 +197,16 @@ class TrainingLoader:
                     sizes = {k: q.qsize() for k, q in self._queues.items()}
                     name = min(sizes, key=sizes.get)
                 stream = self.labeled if name == "labeled" else self.unlabeled
-                entries = stream.next_batch()
                 # distinct deterministic seed per built batch (drives the
-                # per-image scale sampling + RPN label subsampling)
-                bseed = (self._seed * 1_000_003 + next(self._build_counter)) % (2**31)
+                # per-image scale sampling + RPN label subsampling); drawn
+                # from the PER-STREAM schedule (see _Stream.__init__)
+                idxs, bseed, seq = stream.next_batch_indices_seeded()
+                entries = [stream.roidb[i] for i in idxs]
                 built = self.builder.build(entries, seed=bseed)
                 batch = built.as_pytree() if hasattr(built, "as_pytree") else built
                 while not self._stop.is_set():
                     try:
-                        self._queues[name].put(batch, timeout=0.5)
+                        self._queues[name].put((seq, batch), timeout=0.5)
                         break
                     except queue.Full:
                         continue
@@ -164,23 +217,31 @@ class TrainingLoader:
     # ------------------------------------------------------------- consumer
 
     def get_next_batch(self) -> Dict:
-        """Strictly alternate labeled/unlabeled by parity (loader.py:140-146)."""
+        """Strictly alternate labeled/unlabeled by parity (loader.py:140-146);
+        surface batches in draw order (consumer-side reordering)."""
         if self._error is not None:
             raise RuntimeError("loader thread failed") from self._error
         name = "labeled"
         if self.unlabeled:
             name = "labeled" if self._batch_parity % 2 == 0 else "unlabeled"
         self._batch_parity += 1
+        want = self._next_seq[name]
         while True:
+            if want in self._pending[name]:
+                self._next_seq[name] = want + 1
+                return self._pending[name].pop(want)
             if self._error is not None:
                 raise RuntimeError("loader thread failed") from self._error
             try:
-                return self._queues[name].get(timeout=1.0)
+                seq, batch = self._queues[name].get(timeout=1.0)
             except queue.Empty:
                 continue
+            self._pending[name][seq] = batch
 
     def queue_depth(self) -> int:
-        return sum(q.qsize() for q in self._queues.values())
+        return sum(q.qsize() for q in self._queues.values()) + sum(
+            len(p) for p in self._pending.values()
+        )
 
     def shutdown(self):
         self._stop.set()

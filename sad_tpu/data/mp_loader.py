@@ -33,7 +33,6 @@ live JAX/TPU client threads that must not be forked.
 
 from __future__ import annotations
 
-import itertools
 import multiprocessing as mp
 import os
 import queue
@@ -91,6 +90,7 @@ class MultiprocessTrainingLoader:
         queue_capacity: int = 4,
         seed: int = 3,
         builder=None,
+        skip_batches: int = 0,
     ):
         self.cfg = cfg
         self.builder = builder or RetinaNetMinibatchBuilder(cfg, teacher_cfg)
@@ -100,7 +100,6 @@ class MultiprocessTrainingLoader:
         self.num_workers = num_workers or max(1, (os.cpu_count() or 2) - 1)
         self._capacity = queue_capacity
         self._seed = seed
-        self._build_counter = itertools.count()
         self.labeled = _Stream(roidb, self.batch_images, seed)
         self.unlabeled = (
             _Stream(unlabeled_roidb, self.batch_images, seed + 1)
@@ -117,11 +116,11 @@ class MultiprocessTrainingLoader:
         self._queues: Dict[str, queue.Queue] = {
             name: queue.Queue(queue_capacity) for name in self._streams
         }
-        # order restoration: batches are surfaced in DISPATCH order, not
+        # order restoration: batches are surfaced in DRAW order, not
         # completion order, so the batch stream is byte-identical for any
         # num_workers (reproducible training independent of host parallelism;
-        # the threaded loader and the reference are completion-ordered).
-        self._dispatch_seq = {name: itertools.count() for name in self._streams}
+        # the reference's threads were completion-ordered). The sequence
+        # number is the stream's own draw counter (atomic with the draw).
         self._next_seq = {name: 0 for name in self._streams}
         self._pending: Dict[str, Dict[int, object]] = {
             name: {} for name in self._streams
@@ -131,6 +130,14 @@ class MultiprocessTrainingLoader:
         self._stop = threading.Event()
         self._error: Optional[BaseException] = None
         self._batch_parity = 0
+        if skip_batches:
+            from .loader import fast_forward_streams
+
+            fast_forward_streams(self.labeled, self.unlabeled, skip_batches)
+            self._batch_parity = skip_batches
+            self._next_seq = {
+                name: self._streams[name].count for name in self._streams
+            }
 
         self._ctx = mp.get_context("spawn")
         self._task_q = self._ctx.Queue()
@@ -213,13 +220,11 @@ class MultiprocessTrainingLoader:
                 time.sleep(0.01)
                 continue
             stream = self._streams[name]
-            # ship indices, not entries — workers hold their own roidb copy
-            idxs = stream.next_batch_indices()
-            # identical seed schedule to the threaded loader (loader.py:148)
-            bseed = (self._seed * 1_000_003 + next(self._build_counter)) % (
-                2**31
-            )
-            self._task_q.put((name, next(self._dispatch_seq[name]), idxs, bseed))
+            # ship indices, not entries — workers hold their own roidb copy;
+            # identical PER-STREAM seed schedule to the threaded loader
+            # (loader._Stream.next_batch_indices_seeded)
+            idxs, bseed, seq = stream.next_batch_indices_seeded()
+            self._task_q.put((name, seq, idxs, bseed))
 
     def _check_dead_workers(self) -> bool:
         """Liveness: a worker that died WITHOUT shipping a traceback

@@ -159,12 +159,14 @@ def train_model(
                 cfg, roidb, teacher_cfg if distill else None, unlabeled,
                 builder=builder,
                 num_workers=None if n_procs < 0 else n_procs,
+                skip_batches=start_iter,
             ).start(prefill=True)
         else:
             loader = TrainingLoader(
                 cfg, roidb, teacher_cfg if distill else None, unlabeled,
                 builder=builder,
                 num_threads=cfg.DATA_LOADER.NUM_THREADS,
+                skip_batches=start_iter,
             ).start(prefill=True)
 
     # ----- device mesh: with >1 chips, replicate params over the 'data'
@@ -207,29 +209,53 @@ def train_model(
             loader = DevicePrefetcher(loader)
 
     # ----- jitted step
+    # Metrics leave the device as ONE packed f32 vector, not a dict of
+    # scalars: over the axon tunnel every float(scalar) is a separate D2H
+    # RPC, and ~20 of them per iteration dominated small-step configs
+    # (measured 1.1 s/iter on a step whose compute is tens of ms). The
+    # stacking happens INSIDE the jitted step so the loop pays exactly one
+    # dispatch + one transfer per iteration.
     n_groups = cfg.NUM_GPUS
+    metric_names: list = []
+
+    def _pack(m):
+        if not metric_names:
+            metric_names.extend(sorted(m))
+        return jnp.stack(
+            [m[k].astype(jnp.float32) for k in metric_names]
+        )
+
     if is_rcnn:
         from .rcnn_train import make_rcnn_train_step
 
-        rcnn_step = jax.jit(
-            make_rcnn_train_step(cfg, student, n_groups=n_groups),
-            donate_argnums=(0,),
-        )
-        step_rng = jax.random.PRNGKey(cfg.RNG_SEED + 7)
+        rcnn_raw = make_rcnn_train_step(cfg, student, n_groups=n_groups)
+
+        def rcnn_packed(state, batch, lr, key):
+            new_state, m = rcnn_raw(state, batch, lr, key)
+            return new_state, _pack(m)
+
+        rcnn_step = jax.jit(rcnn_packed, donate_argnums=(0,))
+        # per-iter key by fold_in (NOT a sequential split chain): a resumed
+        # run regenerates the exact key the uninterrupted run used at each
+        # iteration, which makes resume bit-identical (the loader already
+        # fast-forwards its batch schedule via skip_batches)
+        rng_base = jax.random.PRNGKey(cfg.RNG_SEED + 7)
+        rng_iter = iter(range(start_iter, 2 ** 62))
 
         def step_fn(state, _teacher_params, batch, lr):
-            nonlocal step_rng
-            step_rng, sub = jax.random.split(step_rng)
+            sub = jax.random.fold_in(rng_base, next(rng_iter))
             return rcnn_step(state, batch, lr, sub)
 
     else:
-        step_fn = jax.jit(
-            make_train_step(
-                cfg, student, teacher, n_groups=n_groups,
-                teacher_cfg=teacher_cfg,
-            ),
-            donate_argnums=(0,),
+        sad_raw = make_train_step(
+            cfg, student, teacher, n_groups=n_groups, teacher_cfg=teacher_cfg,
         )
+
+        def sad_packed(state, teacher_params, batch, lr):
+            new_state, m = sad_raw(state, teacher_params, batch, lr)
+            return new_state, _pack(m)
+
+        step_fn = jax.jit(sad_packed, donate_argnums=(0,))
     state = TrainState(params, velocity)
     from sad_tpu.utils.net_info import print_model_summary
 
@@ -242,18 +268,32 @@ def train_model(
         os.remove(stats_path)
     stats = TrainingStats(max_iters, log_file=stats_path)
     snapshot_period = max(1, cfg.TRAIN.SNAPSHOT_ITERS // max(cfg.NUM_GPUS, 1))
-    cur_lr = get_lr_at_iter(cfg.SOLVER, start_iter)
+    # Resume initializes cur_lr to the PREVIOUS iter's LR so that a schedule
+    # step landing exactly on start_iter still triggers the momentum
+    # correction the uninterrupted run would have applied at that boundary
+    # (detector.py:624-648 semantics).
+    cur_lr = get_lr_at_iter(cfg.SOLVER, max(start_iter - 1, 0))
 
     profiling = False
     pending = None
 
     def _consume_metrics(p_it, p_lr, p_metrics):
-        host = {k: float(v) for k, v in p_metrics.items()}
+        # one D2H for the whole metric vector (see the packing note above)
+        vals = np.asarray(p_metrics, np.float32)
+        host = dict(zip(metric_names, (float(v) for v in vals)))
         stats.iter_toc()
         stats.update_iter_stats(p_it, host)
+        will_log = (
+            p_it % stats.log_period == 0 or p_it == stats.max_iter - 1
+        )
+        # queue_depth is cheap but memory_stats() is another tunnel RPC —
+        # only pay it on iterations that actually emit a log line
         stats.log_iter_stats(
             p_it, p_lr,
-            extra={"queue": loader.queue_depth(), **device_memory_stats()},
+            extra=(
+                {"queue": loader.queue_depth(), **device_memory_stats()}
+                if will_log else None
+            ),
         )
         if not np.isfinite(host["loss"]):
             save_checkpoint(

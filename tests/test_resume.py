@@ -1,0 +1,140 @@
+"""Bit-identical resume: interrupted-and-resumed == uninterrupted.
+
+The reference's AUTO_RESUME (train_net.py:208-233) restarts from the latest
+model_iter*.pkl, but its loader restarts the batch stream from scratch, so a
+resumed run diverges from the uninterrupted one. Here resume is exact:
+
+- the loader fast-forwards its per-stream batch schedule (loader.skip_batches),
+- the R-CNN step key is fold_in(base, iter) (not a sequential split chain),
+- cur_lr initializes to lr(start_iter-1) so an LR boundary at start_iter
+  still applies the momentum correction,
+
+so params after (train k, kill, resume to N) equal params after (train N)
+bit for bit. These tests drive train_model directly with a snapshot copied
+into a fresh OUTPUT_DIR — the same files AUTO_RESUME scans; the SIGKILL
+variant through the real CLI runs in the chip dress rehearsal
+(tools_drives/dress_rehearsal_drive.py).
+"""
+
+import glob
+import json
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+import jax
+
+from sad_tpu.config import Config, register_dataset
+from sad_tpu.config.config import merge_cfg_from_dict
+from sad_tpu.train.train_loop import train_model
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    from sad_tpu.data.synth_coco import generate_synthetic_coco
+
+    root = str(tmp_path_factory.mktemp("resume_ds"))
+    img_dir, j = generate_synthetic_coco(
+        root, "r", 12, seed=5, size_range=(64, 96),
+        objects_per_image=(1, 3), small_frac=0.0, crowd_frac=0.0,
+        ignore_frac=0.0,
+    )
+    register_dataset("resume_ds", img_dir, j, allow_override=True)
+    return "resume_ds"
+
+
+def _cfg(out_dir, dataset, extra=None):
+    base = {
+        "MODEL": {"TYPE": "retinanet", "NUM_CLASSES": 9,
+                  "CONV_BODY": "FPN.add_fpn_ResNet50_conv5_body"},
+        "NUM_GPUS": 1,
+        "FPN": {"FPN_ON": True, "RPN_MIN_LEVEL": 3, "RPN_MAX_LEVEL": 7,
+                "EXTRA_CONV_LEVELS": True, "COARSEST_STRIDE": 128},
+        "RETINANET": {"RETINANET_ON": True, "ASPECT_RATIOS": (1.0,),
+                      "SCALES_PER_OCTAVE": 1},
+        "RESNETS": {"CHANNEL_RATIO": 0.25},
+        "TRAIN": {"SCALES": (64,), "MAX_SIZE": 128, "IMS_PER_BATCH": 2,
+                  "DATASETS": (dataset,), "SNAPSHOT_ITERS": 3,
+                  "WEIGHTS": ""},
+        "SOLVER": {"BASE_LR": 1e-3, "MAX_ITER": 6, "WARM_UP_ITERS": 0,
+                   "GAMMA": 0.1, "STEPS": (0, 4)},
+        "PIXEL_STD": (57.375, 57.12, 58.395),
+        "COMPUTE_DTYPE": "float32",
+        "OUTPUT_DIR": out_dir,
+    }
+    if extra:
+        for k, v in extra.items():
+            if isinstance(v, dict):
+                base[k] = {**base.get(k, {}), **v}
+            else:
+                base[k] = v
+    return merge_cfg_from_dict(Config(), base)
+
+
+def _leaves(params):
+    return jax.tree_util.tree_leaves(params)
+
+
+def test_retinanet_resume_bit_identical(tmp_path, dataset):
+    # run A: uninterrupted 6 iters (snapshot written at iter 3)
+    cfg_a = _cfg(str(tmp_path / "a"), dataset)
+    state_a = train_model(cfg_a)
+    train_dir_a = os.path.join(str(tmp_path / "a"), "train", dataset)
+    snaps = sorted(glob.glob(os.path.join(train_dir_a, "model_iter*.pkl")))
+    assert snaps, "no mid-run snapshot written"
+
+    # run B: fresh OUTPUT_DIR seeded with only the mid-run snapshot; the
+    # AUTO_RESUME scan must pick it up and continue 3..5 identically
+    out_b = tmp_path / "b" / "train" / dataset
+    os.makedirs(out_b)
+    shutil.copy(snaps[-1], out_b / os.path.basename(snaps[-1]))
+    cfg_b = _cfg(str(tmp_path / "b"), dataset)
+    state_b = train_model(cfg_b)
+
+    stats_b = [
+        json.loads(l)
+        for l in open(os.path.join(out_b, "stats.jsonl"))
+    ]
+    assert stats_b[0]["iter"] >= 3, "run B did not resume mid-stream"
+
+    la, lb = _leaves(state_a.params), _leaves(state_b.params)
+    assert len(la) == len(lb)
+    for xa, xb in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
+    for va, vb in zip(_leaves(state_a.velocity), _leaves(state_b.velocity)):
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+
+
+@pytest.mark.e2e
+def test_rcnn_resume_bit_identical(tmp_path, dataset):
+    """Same proof for the R-CNN family (exercises the fold_in step keys)."""
+    extra = {
+        "MODEL": {"TYPE": "generalized_rcnn", "FASTER_RCNN": True,
+                  "NUM_CLASSES": 9, "CONV_BODY":
+                  "FPN.add_fpn_ResNet50_conv5_body"},
+        "FPN": {"FPN_ON": True, "MULTILEVEL_RPN": True,
+                "MULTILEVEL_ROIS": True, "RPN_MIN_LEVEL": 2,
+                "RPN_MAX_LEVEL": 6, "ROI_MIN_LEVEL": 2, "ROI_MAX_LEVEL": 5,
+                "COARSEST_STRIDE": 64},
+        "TRAIN": {"SCALES": (64,), "MAX_SIZE": 64, "RPN_PRE_NMS_TOP_N": 32,
+                  "RPN_POST_NMS_TOP_N": 16, "BATCH_SIZE_PER_IM": 16,
+                  "IMS_PER_BATCH": 2, "SNAPSHOT_ITERS": 3, "DATASETS":
+                  (dataset,), "WEIGHTS": ""},
+        "FAST_RCNN": {"ROI_XFORM_RESOLUTION": 7, "MLP_HEAD_DIM": 32},
+    }
+    cfg_a = _cfg(str(tmp_path / "a"), dataset, extra)
+    state_a = train_model(cfg_a)
+    train_dir_a = os.path.join(str(tmp_path / "a"), "train", dataset)
+    snaps = sorted(glob.glob(os.path.join(train_dir_a, "model_iter*.pkl")))
+    assert snaps
+
+    out_b = tmp_path / "b" / "train" / dataset
+    os.makedirs(out_b)
+    shutil.copy(snaps[-1], out_b / os.path.basename(snaps[-1]))
+    cfg_b = _cfg(str(tmp_path / "b"), dataset, extra)
+    state_b = train_model(cfg_b)
+
+    for xa, xb in zip(_leaves(state_a.params), _leaves(state_b.params)):
+        np.testing.assert_array_equal(np.asarray(xa), np.asarray(xb))
