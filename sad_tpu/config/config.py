@@ -303,6 +303,14 @@ class MRCNNConfig:
     CONV_INIT: str = "GaussianFill"
     UPSAMPLE_RATIO: int = 1
     USE_FC_OUTPUT: bool = False
+    # TPU extension (no reference analogue): static per-image RoI slot count
+    # for the mask branch. -1 = the box head's fg cap
+    # (BATCH_SIZE_PER_IM * FG_FRACTION = 128 at reference settings), which is
+    # the reference's own worst case — its dynamic shapes pay only the
+    # ACTUAL fg count per step. Lower caps trade worst-case supervision
+    # coverage for a proportional cut of the (MXU-bound) aux-branch cost;
+    # fg rois beyond the cap keep box supervision but get no mask loss.
+    ROI_SLOTS_PER_IM: int = -1
 
 
 @dataclass(frozen=True)
@@ -328,6 +336,10 @@ class KRCNNConfig:
     KEYPOINT_CONFIDENCE: str = "bbox"
     MIN_KEYPOINT_COUNT_FOR_VALID_MINIBATCH: int = 20
     NMS_OKS: bool = False
+    # TPU extension: static per-image RoI slot count for the keypoint branch
+    # (see MRCNN.ROI_SLOTS_PER_IM; the 8x512-wide keypoint tower measures
+    # 85% of bf16 MXU peak, so its cost is linear in this cap)
+    ROI_SLOTS_PER_IM: int = -1
     # minimum upsampled-heatmap extent at decode (ref: config.py:854 +
     # keypoints.py:129-134)
     INFERENCE_MIN_SIZE: int = 0

@@ -512,6 +512,16 @@ def run_inference_on_roidb(
     return detections
 
 
+
+def _dump_results_json(output_dir, results):
+    """Persist the metrics dict next to bbox_results.json so CLI drivers and
+    the dress rehearsal can consume APs without parsing logs."""
+    if output_dir:
+        os.makedirs(output_dir, exist_ok=True)
+        with open(os.path.join(output_dir, "results.json"), "w") as f:
+            json.dump({k: float(v) for k, v in results.items()}, f, indent=1)
+
+
 def test_net_on_dataset(
     cfg: Config,
     model: RetinaNet,
@@ -579,7 +589,9 @@ def test_net_on_dataset(
     if name.startswith("vid"):
         from .vid_eval import evaluate_vid_detections
 
-        return evaluate_vid_detections(ds.dataset, dets)
+        results = evaluate_vid_detections(ds.dataset, dets)
+        _dump_results_json(output_dir, results)
+        return results
     if name.startswith("voc_") and not cfg.TEST.FORCE_JSON_DATASET_EVAL:
         # official VOC protocol for voc_* datasets; 11-point AP before 2010
         # (ref: task_evaluation.py _use_json_dataset_evaluator +
@@ -587,10 +599,12 @@ def test_net_on_dataset(
         from .voc_eval import voc_eval_boxes
 
         year = name.split("_")[1]
-        return voc_eval_boxes(
+        results = voc_eval_boxes(
             ds.dataset, dets,
             use_07_metric=year.isdigit() and int(year) < 2010,
         )
+        _dump_results_json(output_dir, results)
+        return results
     results = COCOEvaluator(ds.dataset).evaluate(dets, verbose=True)
     if cfg.MODEL.MASK_ON and dets and "segmentation" in dets[0]:
         segm = COCOEvaluator(ds.dataset, iou_type="segm").evaluate(
@@ -610,6 +624,7 @@ def test_net_on_dataset(
             kp_dets, verbose=True
         )
         results.update({f"keypoints_{k}": v for k, v in kps.items()})
+    _dump_results_json(output_dir, results)
     return results
 
 

@@ -486,14 +486,34 @@ def make_rcnn_train_step(
             # slots carry zero weight in both losses).
             aux_total = jnp.float32(0.0)
             aux_metrics = {}
-            fg_cap = sampled_fg_cap(
+            box_fg_cap = sampled_fg_cap(
                 cfg.TRAIN.BATCH_SIZE_PER_IM, cfg.TRAIN.FG_FRACTION
             )
+            # Static aux-branch RoI slot counts (MRCNN/KRCNN.ROI_SLOTS_PER_IM,
+            # a TPU extension): the default (-1) pays the reference's WORST
+            # CASE — box_fg_cap slots per image, 128 at reference settings —
+            # every step, where the reference's dynamic shapes pay only the
+            # actual fg count. The 8x512 keypoint tower measures 85% of bf16
+            # MXU peak (BENCH_NOTES round-3 keypoint decomposition), so aux
+            # cost is linear in these caps; fg rois beyond a cap keep box
+            # supervision but get no mask/keypoint loss.
+            def _aux_cap(knob):
+                return box_fg_cap if knob <= 0 else min(knob, box_fg_cap)
+
+            mask_cap = _aux_cap(cfg.MRCNN.ROI_SLOTS_PER_IM)
+            kp_cap = _aux_cap(cfg.KRCNN.ROI_SLOTS_PER_IM)
             need_aux = (
                 (cfg.MODEL.MASK_ON and "gt_mask_rasters" in batch)
                 or (cfg.MODEL.KEYPOINTS_ON and "gt_keypoints" in batch)
             )
             if need_aux:
+                # shared prep at the larger cap; each branch slices its
+                # prefix (fg slots are priority-sorted, so a prefix slice is
+                # exactly "the first-k fg rois")
+                fg_cap = max(
+                    mask_cap if cfg.MODEL.MASK_ON else 1,
+                    kp_cap if cfg.MODEL.KEYPOINTS_ON else 1,
+                )
                 fg_rois = sampled["rois"][:, :fg_cap]
                 fg_is_fg = sampled["is_fg"][:, :fg_cap].reshape(-1)
                 fg_labels = sampled["labels"][:, :fg_cap].reshape(-1)
@@ -508,12 +528,25 @@ def make_rcnn_train_step(
                     cfg.FPN.ROI_MIN_LEVEL, cfg.FPN.ROI_MAX_LEVEL,
                     cfg.FPN.ROI_CANONICAL_SCALE, cfg.FPN.ROI_CANONICAL_LEVEL,
                 )
+
+                def _branch_slice(cap):
+                    """Per-branch prefix views at this branch's cap."""
+                    if cap == fg_cap:
+                        return flat_fg_rois, fg_lvls, fg_is_fg, fg_labels
+                    sel = (
+                        jnp.arange(b)[:, None] * fg_cap + jnp.arange(cap)
+                    ).reshape(-1)
+                    return (
+                        flat_fg_rois[sel], fg_lvls[sel], fg_is_fg[sel],
+                        fg_labels[sel],
+                    )
             if cfg.MODEL.MASK_ON and "gt_mask_rasters" in batch:
                 from .mask_keypoint import mask_loss, mask_targets_on_device
 
+                m_rois, m_lvls, m_is_fg, m_labels = _branch_slice(mask_cap)
                 mfeats = multilevel_roi_align(
                     roi_feat_maps,
-                    flat_fg_rois, fg_lvls, fg_is_fg,
+                    m_rois, m_lvls, m_is_fg,
                     cfg.MRCNN.ROI_XFORM_RESOLUTION,
                     cfg.MRCNN.ROI_XFORM_SAMPLING_RATIO,
                 )
@@ -524,8 +557,8 @@ def make_rcnn_train_step(
                 def mask_tgt(i):
                     return mask_targets_on_device(
                         batch["gt_mask_rasters"][i],
-                        sampled["rois"][i, :fg_cap],
-                        sampled["matched_gt"][i, :fg_cap],
+                        sampled["rois"][i, :mask_cap],
+                        sampled["matched_gt"][i, :mask_cap],
                         cfg.MRCNN.RESOLUTION,
                         batch["gt_mask_stride"],
                     )
@@ -535,16 +568,17 @@ def make_rcnn_train_step(
                 # logits are at 2x the RoI xform res (deconv); targets match
                 # MRCNN.RESOLUTION by construction
                 ml = mask_loss(
-                    cfg, mlogits, mtargets, fg_labels, fg_is_fg, G,
+                    cfg, mlogits, mtargets, m_labels, m_is_fg, G,
                 )
                 aux_total = aux_total + ml
                 aux_metrics["loss_mask"] = ml
             if cfg.MODEL.KEYPOINTS_ON and "gt_keypoints" in batch:
                 from .mask_keypoint import keypoint_loss, keypoint_targets_on_device
 
+                k_rois, k_lvls, k_is_fg, _k_labels = _branch_slice(kp_cap)
                 kfeats = multilevel_roi_align(
                     roi_feat_maps,
-                    flat_fg_rois, fg_lvls, fg_is_fg,
+                    k_rois, k_lvls, k_is_fg,
                     cfg.KRCNN.ROI_XFORM_RESOLUTION,
                     cfg.KRCNN.ROI_XFORM_SAMPLING_RATIO,
                 )
@@ -556,8 +590,8 @@ def make_rcnn_train_step(
                 def kp_tgt(i):
                     return keypoint_targets_on_device(
                         batch["gt_keypoints"][i],
-                        sampled["rois"][i, :fg_cap],
-                        sampled["matched_gt"][i, :fg_cap],
+                        sampled["rois"][i, :kp_cap],
+                        sampled["matched_gt"][i, :kp_cap],
                         s_hm,
                     )
                 hl, hv = jax.vmap(kp_tgt)(jnp.arange(b))
@@ -565,7 +599,7 @@ def make_rcnn_train_step(
                     cfg, klogits,
                     hl.reshape(-1, hl.shape[-1]),
                     hv.reshape(-1, hv.shape[-1]),
-                    fg_is_fg, G, n_images=b,
+                    k_is_fg, G, n_images=b,
                 )
                 aux_total = aux_total + kl
                 aux_metrics["loss_kps"] = kl

@@ -193,3 +193,72 @@ class TestRCNNInference:
         b = np.asarray(out["boxes"])
         if v.any():
             assert (b[v][:, 2] <= 63.0 + 1e-5).all()
+
+
+class TestAuxRoiSlotCaps:
+    """MRCNN/KRCNN.ROI_SLOTS_PER_IM (TPU extension): the static aux-branch
+    slot count. knob == box fg cap must be bit-identical to the default
+    (-1); a smaller cap must still produce a finite, trainable step."""
+
+    def _mask_kp_setup(self, knob_m, knob_k):
+        import dataclasses as dc
+
+        from sad_tpu.models import create_model
+
+        cfg = _tiny(rcnn_cfg(mask=True))
+        cfg = dc.replace(
+            cfg,
+            MODEL=dc.replace(cfg.MODEL, KEYPOINTS_ON=True),
+            TRAIN=dc.replace(
+                cfg.TRAIN, RPN_PRE_NMS_TOP_N=40, RPN_POST_NMS_TOP_N=16,
+                BATCH_SIZE_PER_IM=8, IMS_PER_BATCH=2,
+            ),
+            MRCNN=dc.replace(cfg.MRCNN, ROI_SLOTS_PER_IM=knob_m),
+            KRCNN=dc.replace(cfg.KRCNN, ROI_SLOTS_PER_IM=knob_k,
+                             NUM_KEYPOINTS=5,
+                             ROI_XFORM_RESOLUTION=7, UP_SCALE=2),
+        )
+        model = create_model(cfg)
+        images = jnp.zeros((2, 64, 64, 3), jnp.float32)
+        im_hw = jnp.asarray([[64, 64], [64, 64]], jnp.float32)
+        params = model.init(
+            jax.random.PRNGKey(0), images, im_hw, method="init_all"
+        )["params"]
+        batch = dict(_rcnn_batch(cfg))
+        rng = np.random.RandomState(3)
+        batch["gt_mask_rasters"] = jnp.asarray(
+            (rng.rand(2, 2, 8, 8) > 0.5).astype(np.float32)
+        )
+        batch["gt_mask_stride"] = jnp.float32(8.0)
+        kp = np.zeros((2, 2, 5, 3), np.float32)
+        kp[..., 0] = rng.uniform(10, 55, (2, 2, 5))
+        kp[..., 1] = rng.uniform(10, 50, (2, 2, 5))
+        kp[..., 2] = 2.0
+        batch["gt_keypoints"] = jnp.asarray(kp)
+        return cfg, model, params, batch
+
+    def _run(self, knob_m, knob_k):
+        from sad_tpu.train import TrainState, init_momentum_state
+        from sad_tpu.train.rcnn_train import make_rcnn_train_step
+
+        cfg, model, params, batch = self._mask_kp_setup(knob_m, knob_k)
+        step = jax.jit(make_rcnn_train_step(cfg, model, n_groups=1))
+        state = TrainState(params, init_momentum_state(params).velocity)
+        _, metrics = step(state, batch, jnp.float32(1e-4),
+                          jax.random.PRNGKey(1))
+        return {k: float(v) for k, v in metrics.items()}
+
+    def test_knob_at_fg_cap_is_identity(self):
+        from sad_tpu.ops.proposals import sampled_fg_cap
+
+        cap = sampled_fg_cap(8, 0.25)
+        base = self._run(-1, -1)
+        same = self._run(cap, cap)
+        assert base.keys() == same.keys()
+        for k in base:
+            np.testing.assert_equal(base[k], same[k])
+
+    def test_smaller_cap_trains_finite(self):
+        m = self._run(1, 1)
+        assert np.isfinite(m["loss"])
+        assert np.isfinite(m["loss_mask"]) and np.isfinite(m["loss_kps"])

@@ -31,8 +31,9 @@ def main():
 
     import sys
 
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     cfg_path = (
-        sys.argv[1] if len(sys.argv) > 1 else
+        args[0] if args else
         "/root/reference/detectron/configs/model_comp/"
         "e2e_faster_rcnn_R-50-FPN_1x.yaml"
     )
@@ -40,7 +41,8 @@ def main():
         cfg_path,
         ["NUM_GPUS", "1", "TRAIN.WEIGHTS", "", "COMPUTE_DTYPE", "bfloat16",
          "PIXEL_STD", "(57.375,57.12,58.395)"]
-        + (["MODEL.MASK_ON", "False"] if "--no-mask" in sys.argv else []),
+        + (["MODEL.MASK_ON", "False"] if "--no-mask" in sys.argv else [])
+        + args[1:],  # extra KEY VALUE override pairs
     )
     print("cfg:", cfg_path.rsplit("/", 1)[-1], "MASK_ON:", cfg.MODEL.MASK_ON,
           flush=True)
