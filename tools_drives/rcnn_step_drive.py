@@ -51,7 +51,10 @@ def main():
     (h, w), _ = canvas_shapes(cfg)
     n_images = cfg.TRAIN.IMS_PER_BATCH  # 4 in the model_comp yaml
     model = create_model(cfg)
-    params = init_model_params(model, jax.random.PRNGKey(0), (1, h, w, 3))
+    # init at a small canvas: param shapes are canvas-independent and the
+    # init program at the full canvas costs ~440 s of server-side compile
+    # over the tunnel (measured, keypoint_stage_drive)
+    params = init_model_params(model, jax.random.PRNGKey(0), (1, 256, 256, 3))
 
     # real minibatch builder over synthetic 600x980 images
     import os
