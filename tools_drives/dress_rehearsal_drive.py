@@ -177,7 +177,10 @@ def main():
         "RETINANET": {"RETINANET_ON": True,
                       "ASPECT_RATIOS": [0.5, 1.0, 2.0],
                       "SCALES_PER_OCTAVE": 3},
-        "TRAIN": {"SCALES": list(scales), "MAX_SIZE": max_size,
+        # multi-scale train jitter like the reference keypoint 1x config
+        # (TRAIN.SCALES draws per-batch; canvas pads to the max bucket)
+        "TRAIN": {"SCALES": list(scales) if args.smoke else [288, 320],
+                  "MAX_SIZE": max_size,
                   "IMS_PER_BATCH": 8 if not args.smoke else 2,
                   "DATASETS": ["coco_2017_train"],
                   "SNAPSHOT_ITERS": max(args.iters // 2, 2) * 2,
