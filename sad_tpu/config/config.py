@@ -266,6 +266,13 @@ class RPNConfig:
     SIZES: Tuple[int, ...] = (64, 128, 256, 512)
     STRIDE: int = 16
     ASPECT_RATIOS: Tuple[float, ...] = (0.5, 1.0, 2.0)
+    # Proposal analogue of TEST.EXACT_TOPK (framework-only key): exact
+    # pre-NMS candidate top-N per (level, image). When False, TPU uses
+    # jax.lax.approx_max_k at recall_target 0.99 over the dense RPN score
+    # grids (P2 alone is ~200k scores at 800x1344); non-TPU backends fall
+    # back to exact. Applies to BOTH train and test proposal paths.
+    # Measured AP delta + step time: BENCH_NOTES.md (rpn_topk_parity_drive).
+    EXACT_TOPK: bool = True
 
 
 @dataclass(frozen=True)

@@ -312,6 +312,7 @@ class GeneralizedRCNN(nn.Module):
                     s, dd, a, ihw,
                     cfg.TEST.RPN_PRE_NMS_TOP_N,
                     float(cfg.TEST.RPN_MIN_SIZE),
+                    exact_topk=cfg.RPN.EXACT_TOPK,
                 )
             )(scores, d, im_hw)
             prop_levels.append((lvl, bx, ts, ms))

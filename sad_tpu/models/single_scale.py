@@ -360,6 +360,7 @@ class SingleScaleRCNN(nn.Module):
             lambda s, dd, ihw: proposal_candidates(
                 jax.nn.sigmoid(s), dd.reshape(h, w, na, 4), anchors, ihw,
                 cfg.TEST.RPN_PRE_NMS_TOP_N, float(cfg.TEST.RPN_MIN_SIZE),
+                exact_topk=cfg.RPN.EXACT_TOPK,
             )
         )(logits, deltas, im_hw)
         lv_b, lv_s, lv_v = nms_levels_batched(

@@ -31,14 +31,29 @@ def proposal_candidates(
     im_hw: jnp.ndarray,  # (2,) image extent for clipping
     pre_nms_top_n: int,
     min_size: float = 0.0,
+    exact_topk: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Everything before the proposal NMS (ref: generate_proposals.py
     top-k + decode + clip + small-box filter). Returns
     (boxes (k, 4), top_scores (k,), masked_scores (k,) with NEG_INF on
-    filtered candidates)."""
+    filtered candidates).
+
+    exact_topk=False (cfg.RPN.EXACT_TOPK, the proposal analogue of
+    TEST.EXACT_TOPK) lets TPU select the pre-NMS candidate pool with
+    jax.lax.approx_max_k (PartialReduce, recall_target 0.99) instead of the
+    sort-based exact top_k — the pool then holds ≥99% of the true top-N; any
+    swapped-in candidate is itself near the score cut. Non-TPU backends
+    lower approx_max_k to an exact fallback, so the CPU suite exercises the
+    same code path. Measured AP delta + step time: BENCH_NOTES.md
+    (rpn_topk_parity_drive)."""
     flat_scores = scores.reshape(-1)
     k = min(pre_nms_top_n, flat_scores.shape[0])
-    top_scores, inds = jax.lax.top_k(flat_scores, k)
+    if k < flat_scores.shape[0] and not exact_topk:
+        top_scores, inds = jax.lax.approx_max_k(
+            flat_scores, k, recall_target=0.99
+        )
+    else:
+        top_scores, inds = jax.lax.top_k(flat_scores, k)
     top_anchors = anchors.reshape(-1, 4)[inds]
     top_deltas = deltas.reshape(-1, 4)[inds]
 

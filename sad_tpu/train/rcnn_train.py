@@ -293,6 +293,7 @@ def make_rcnn_train_step(
                             s, dd, anchors, ihw,
                             cfg.TRAIN.RPN_PRE_NMS_TOP_N,
                             float(cfg.TRAIN.RPN_MIN_SIZE),
+                            exact_topk=cfg.RPN.EXACT_TOPK,
                         )
                     )(scores, d, batch["im_hw"])  # (B,k,4), (B,k), (B,k)
 

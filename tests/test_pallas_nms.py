@@ -163,3 +163,45 @@ def test_nms_levels_batched_matches_per_image_generate_proposals():
             np.testing.assert_allclose(
                 np.asarray(ref_s)[m], np.asarray(lv_s[lvl][i])[m], rtol=1e-6
             )
+
+
+def test_proposal_candidates_approx_branch_matches_exact_on_cpu():
+    """cfg.RPN.EXACT_TOPK=False routes the pre-NMS candidate top-k through
+    jax.lax.approx_max_k (the TPU throughput path). On CPU the approx
+    lowering is an exact fallback, so both branches must agree bit-for-bit —
+    the point is that the approx branch is compiled and executed by the
+    suite rather than being TPU-only dead code (same policy as
+    TEST.EXACT_TOPK, tests/test_parity_e2e.py)."""
+    from sad_tpu.ops.proposals import proposal_candidates
+
+    rng = np.random.RandomState(11)
+    h, w, a = 32, 48, 3
+    anchors = np.stack(
+        [
+            rng.uniform(0, 300, (h, w, a)),
+            rng.uniform(0, 300, (h, w, a)),
+            rng.uniform(40, 120, (h, w, a)),
+            rng.uniform(40, 120, (h, w, a)),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    anchors[..., 2:] += anchors[..., :2]
+    scores = jnp.asarray(rng.uniform(0, 1, (h, w, a)).astype(np.float32))
+    deltas = jnp.asarray(
+        rng.uniform(-0.3, 0.3, (h, w, a, 4)).astype(np.float32)
+    )
+    im_hw = jnp.asarray([320.0, 320.0], jnp.float32)
+
+    # pre_n < total scores so the k < flat branch (the approx call) is
+    # taken. Both variants run under the same jit wrapper: the comparison
+    # isolates the top-k operator choice, not jit-vs-eager fusion noise.
+    def run(exact):
+        return jax.jit(
+            lambda s, d, ihw: proposal_candidates(
+                s, d, jnp.asarray(anchors), ihw, 500, 8.0,
+                exact_topk=exact,
+            )
+        )(scores, deltas, im_hw)
+
+    for e, ap in zip(run(True), run(False)):
+        np.testing.assert_array_equal(np.asarray(e), np.asarray(ap))
