@@ -1,0 +1,372 @@
+"""Pallas TPU kernel: windowed multilevel RoIAlign.
+
+The dense formulation (ops/detectron_ops.py roi_align + ops/proposals.py
+multilevel_roi_align) keeps all FLOPs on the MXU by computing every roi
+against EVERY FPN level with full-width tent-weight matmuls — at mask-1x
+geometry (bs2, 1024 rois, P2=200x336) that is ~1.3 TFLOP of matmuls, ~75%
+of it against P2, when each roi mathematically touches only a tiny window
+of its ONE assigned level (FPN assignment bounds sqrt(area)/stride to
+~10-20 cells; the top level is bounded by canvas/stride). This kernel
+exploits that: per roi, DMA the (<=WIN x <=WIN) window of its assigned
+level from HBM into VMEM and run the same two tent-weight contractions on
+the window — a ~100x FLOP reduction that turns the op from MXU-bound to
+DMA-latency-bound.
+
+Semantics are identical to multilevel_roi_align (ref: Detectron
+roi_align_op.cu:89-160 bilinear rules + FPN.py map_rois_to_fpn_levels
+routing): exact tent weights with the CUDA kernel's clamp/inside edge
+handling, malformed rois forced to >=1px bins, sr x sr sample averaging.
+Rois larger than the window at their level (extreme aspect ratios — FPN
+assignment bounds the GEOMETRIC MEAN of the extents, not each axis) are
+handled exactly by a dynamic tile loop: each tile owns a disjoint
+absolute-column range, so accumulating tile contributions reproduces the
+full-width contraction.
+
+Gradients: proposals are stop-gradient upstream (rcnn_train.py:287), so
+only d/d(features) exists; the custom VJP computes it as
+jax.linear_transpose of the dense matmul form (RoIAlign is linear in
+features) — numerically identical to jax.grad of the dense op, at the
+dense backward's cost, without its forward.
+
+Grid layout: ROIS_PER_PROGRAM rois per program; per-roi scalars
+(level/batch/window offsets/tile counts + bitcast f32 roi geometry) ride
+a single scalar-prefetch int32 array in SMEM, which bounds R to a few
+thousand (all call sites: <=1024 train, <=1000 eval, <=128 aux heads).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+WIN = 32  # window tile edge (cells); per level: min(WIN, level dim)
+ROIS_PER_PROGRAM = 8
+META_COLS = 8  # lvl, b, h0, w0, nty, ntx, pad, pad (int32)
+FMETA_COLS = 4  # y1, x1, binh, binw (f32; Mosaic has no scalar bitcast)
+# per-roi scalars ride SMEM; stay well under the scalar-memory budget
+MAX_ROIS = 8192
+
+# None = auto (kernel on TPU, dense matmuls elsewhere — the interpreter
+# pays a Python-level cost per roi that would bog the CPU suite down);
+# True/False force either path (tests force True to keep the kernel
+# branch alive on CPU).
+USE_PALLAS_ROI_ALIGN = None
+
+
+def use_windowed_kernel(n_rois: int) -> bool:
+    if n_rois > MAX_ROIS:
+        return False
+    if USE_PALLAS_ROI_ALIGN is None:
+        return jax.default_backend() == "tpu"
+    return bool(USE_PALLAS_ROI_ALIGN)
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _round8(x: int) -> int:
+    return ((x + 7) // 8) * 8
+
+
+def _dma_width(w_l: int) -> int:
+    """x-window width: the whole (8-padded) level when it fits, else the
+    owned width + 8 so an align-down of the DMA start still covers it.
+    Mosaic requires W-axis (sublane-tiled) slice offsets divisible by 8."""
+    return _round8(w_l) if w_l <= WIN else WIN + 8
+
+
+def _w_padded(w_l: int) -> int:
+    return max(_round8(w_l), _dma_width(w_l))
+
+
+def _axis_weights_window(
+    start, binsz, dma0, nominal, own_w: int, n_static: int, winl: int,
+    res: int, sr: int,
+):
+    """Summed tent weights of the `winl` grid columns starting at absolute
+    column `dma0`, for the `res` output bins of one axis — the windowed
+    slice of detectron_ops.roi_align's axis_weights, masked to the columns
+    this tile OWNS ([nominal, nominal+own_w), disjoint across tiles; the
+    window may be wider than the owned range for DMA alignment)."""
+    f32 = jnp.float32
+    shp = (res, sr, winl)
+    # Mosaic iota is integer-only; cast after
+    p = jax.lax.broadcasted_iota(jnp.int32, shp, 0).astype(f32)
+    kk = jax.lax.broadcasted_iota(jnp.int32, shp, 1).astype(f32)
+    jj = jax.lax.broadcasted_iota(jnp.int32, shp, 2).astype(f32)
+    s = start + p * binsz + (kk + 0.5) * (binsz / sr)
+    inside = (s >= -1.0) & (s <= float(n_static))
+    s_eff = jnp.clip(s, 0.0, float(n_static - 1))
+    col = dma0.astype(f32) + jj
+    owned = (col >= nominal.astype(f32)) & (col < nominal.astype(f32) + own_w)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(s_eff - col))
+    w = w * (inside & owned).astype(f32)
+    return jnp.sum(w, axis=1) / sr  # (res, winl)
+
+
+def _mlra_kernel(
+    meta_ref,  # (R_pad, META_COLS) int32, scalar-prefetched (SMEM)
+    *refs,
+    level_dims: Tuple[Tuple[int, int], ...],  # (H_l, W_l) per level
+    res: int,
+    sr: int,
+    c: int,
+    rpp: int,
+):
+    # fmeta rides VMEM (scalar-prefetch SMEM windows are 512K each and two
+    # operands exceed the 1M budget); scalar reads of 4 floats/roi are cheap
+    fmeta_ref = refs[0]  # (rpp, FMETA_COLS) f32 block
+    feat_refs = refs[1:1 + len(level_dims)]
+    out_ref = refs[1 + len(level_dims)]
+    win_ref, acc_ref, sem_ref = refs[2 + len(level_dims):]
+    pid = pl.program_id(0)
+
+    for rr in range(rpp):
+        r = pid * rpp + rr
+        lvl = meta_ref[r, 0]
+        b = meta_ref[r, 1]
+        h0 = meta_ref[r, 2]
+        w0 = meta_ref[r, 3]
+        n_tiles = meta_ref[r, 4] * meta_ref[r, 5]
+        ntx = meta_ref[r, 5]
+        y1 = fmeta_ref[rr, 0]
+        x1 = fmeta_ref[rr, 1]
+        binh = fmeta_ref[rr, 2]
+        binw = fmeta_ref[rr, 3]
+
+        acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
+
+        for li, (h_l, w_l) in enumerate(level_dims):
+            # h_l, w_l: LOGICAL level dims; the feature ref's W is padded
+            # to w_pad (multiple of 8) by the wrapper. The x-window is 8
+            # wider than the owned range so the DMA start can align down
+            # to the sublane tiling Mosaic requires on the W axis.
+            winy = min(WIN, h_l)
+            winx = min(WIN, w_l)
+            w_pad = _w_padded(w_l)
+            dx = _dma_width(w_l)
+
+            @pl.when(lvl == li)
+            def _(li=li, h_l=h_l, w_l=w_l, winy=winy, winx=winx,
+                  w_pad=w_pad, dx=dx):
+                def tile(t, _):
+                    ty = t // ntx
+                    tx = t - ty * ntx
+                    nom_h = h0 + ty * winy
+                    nom_w = w0 + tx * winx
+                    dma_h = jnp.minimum(nom_h, h_l - winy)
+                    dma_w = jnp.clip(nom_w, 0, w_pad - dx)
+                    dma_w = pl.multiple_of((dma_w // 8) * 8, 8)
+                    cp = pltpu.make_async_copy(
+                        feat_refs[li].at[
+                            b, pl.ds(dma_h, winy), pl.ds(dma_w, dx), :
+                        ],
+                        win_ref.at[:winy, :dx, :],
+                        sem_ref,
+                    )
+                    cp.start()
+                    cp.wait()
+
+                    wy = _axis_weights_window(
+                        y1, binh, dma_h, nom_h, winy, h_l, winy, res, sr
+                    )
+                    wx = _axis_weights_window(
+                        x1, binw, dma_w, nom_w, winx, w_l, dx, res, sr
+                    )
+                    w2d = (
+                        win_ref[:winy, :dx, :]
+                        .astype(jnp.float32)
+                        .reshape(winy, dx * c)
+                    )
+                    a = jax.lax.dot_general(
+                        wy, w2d, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ).reshape(res, dx, c)
+                    # acc layout: (res_q, res_p * C); per-p matmuls avoid
+                    # any in-kernel transpose (Mosaic-friendliest form)
+                    for p in range(res):
+                        o_p = jax.lax.dot_general(
+                            wx, a[p], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )  # (res_q, C)
+                        acc_ref[:, p * c:(p + 1) * c] += o_p
+                    return 0
+
+                jax.lax.fori_loop(0, n_tiles, tile, 0, unroll=False)
+
+        for p in range(res):
+            out_ref[rr, p, :, :] = acc_ref[:, p * c:(p + 1) * c].astype(
+                out_ref.dtype
+            )
+
+
+def _windowed_forward(
+    features: Dict[int, jnp.ndarray],
+    rois: jnp.ndarray,  # (R, 5) [batch, x1, y1, x2, y2]
+    roi_levels: jnp.ndarray,  # (R,) absolute FPN level per roi
+    valid: jnp.ndarray,  # (R,)
+    resolution: int,
+    sampling_ratio: int,
+) -> jnp.ndarray:
+    lvls = sorted(features)
+    assert lvls == list(range(lvls[0], lvls[-1] + 1)), "levels not contiguous"
+    dims = tuple(
+        (int(features[l].shape[1]), int(features[l].shape[2])) for l in lvls
+    )
+    b, _, _, c = features[lvls[0]].shape
+    res, sr = resolution, sampling_ratio
+    r = rois.shape[0]
+    rpp = ROIS_PER_PROGRAM
+    r_pad = ((r + rpp - 1) // rpp) * rpp
+
+    f32 = jnp.float32
+    lvl0 = (roi_levels - lvls[0]).astype(jnp.int32)
+    n_h = jnp.asarray([d[0] for d in dims], f32)[lvl0]
+    n_w = jnp.asarray([d[1] for d in dims], f32)[lvl0]
+    winy = jnp.asarray([min(WIN, d[0]) for d in dims], f32)[lvl0]
+    winx = jnp.asarray([min(WIN, d[1]) for d in dims], f32)[lvl0]
+    scale = jnp.asarray([1.0 / (2.0 ** l) for l in lvls], f32)[lvl0]
+
+    bi = rois[:, 0].astype(jnp.int32)
+    x1 = rois[:, 1] * scale
+    y1 = rois[:, 2] * scale
+    x2 = rois[:, 3] * scale
+    y2 = rois[:, 4] * scale
+    binw = jnp.maximum(x2 - x1, 1.0) / res
+    binh = jnp.maximum(y2 - y1, 1.0) / res
+
+    def extent(lo_f, bin_f, n_f, win_f):
+        smin = lo_f + 0.5 * bin_f / sr
+        smax = lo_f + res * bin_f - 0.5 * bin_f / sr
+        c0 = jnp.floor(jnp.clip(smin, 0.0, n_f - 1.0))
+        c1 = jnp.clip(jnp.floor(jnp.clip(smax, 0.0, n_f - 1.0)) + 1.0,
+                      0.0, n_f - 1.0)
+        span = c1 - c0 + 1.0
+        n_t = jnp.ceil(span / win_f)
+        return c0.astype(jnp.int32), jnp.maximum(n_t, 1.0).astype(jnp.int32)
+
+    h0, n_ty = extent(y1, binh, n_h, winy)
+    w0, n_tx = extent(x1, binw, n_w, winx)
+
+    meta = jnp.stack(
+        [lvl0, bi, h0, w0, n_ty, n_tx,
+         jnp.zeros_like(lvl0), jnp.zeros_like(lvl0)],
+        axis=1,
+    ).astype(jnp.int32)
+    meta = jnp.pad(meta, ((0, r_pad - r), (0, 0)))
+    fmeta = jnp.stack([y1, x1, binh, binw], axis=1).astype(f32)
+    fmeta = jnp.pad(fmeta, ((0, r_pad - r), (0, 0)))
+
+    out_dtype = features[lvls[0]].dtype
+    kernel = functools.partial(
+        _mlra_kernel, level_dims=dims, res=res, sr=sr, c=int(c), rpp=rpp,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(r_pad // rpp,),
+        in_specs=[
+            pl.BlockSpec((rpp, FMETA_COLS), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec(memory_space=pltpu.ANY)] * len(lvls),
+        out_specs=pl.BlockSpec(
+            (rpp, res, res, c), lambda i, *_: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM(
+                (WIN, max(_dma_width(d[1]) for d in dims), int(c)),
+                out_dtype,
+            ),
+            pltpu.VMEM((res, res * int(c)), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    out_call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((r_pad, res, res, c), out_dtype),
+        grid_spec=grid_spec,
+        interpret=_interpret(),
+    )
+    feats_in = []
+    for l, (h_l, w_l) in zip(lvls, dims):
+        wp = _w_padded(w_l)
+        f = features[l]
+        if wp != w_l:
+            f = jnp.pad(f, ((0, 0), (0, 0), (0, wp - w_l), (0, 0)))
+        feats_in.append(f)
+    out = out_call(meta, fmeta, *feats_in)
+    out = out[:r]
+    return out * valid[:, None, None, None].astype(out.dtype)
+
+
+def _mlra_bwd_features(
+    features: Dict[int, jnp.ndarray],
+    rois: jnp.ndarray,
+    roi_levels: jnp.ndarray,
+    valid: jnp.ndarray,
+    res: int,
+    sr: int,
+    g: jnp.ndarray,  # (R, res, res, C) cotangent
+) -> Dict[int, jnp.ndarray]:
+    """d/d(features) via jax.linear_transpose of the dense matmul form
+    (RoIAlign is linear in features): XLA transposes the chunked
+    tent-weight matmuls — the same backward it autodiffs for the dense
+    path, without paying the dense forward. A first hand-derived
+    contraction order materialized an (R, W, res, C) intermediate and
+    measured SLOWER than this (17.3 vs 12.9 ms fwd+bwd on chip)."""
+    from .proposals import dense_multilevel_roi_align
+
+    def lin(f):
+        return dense_multilevel_roi_align(
+            f, rois, roi_levels, valid, res, sr
+        )
+
+    (df,) = jax.linear_transpose(lin, features)(g)
+    return df
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def multilevel_roi_align_windowed(
+    features: Dict[int, jnp.ndarray],
+    rois: jnp.ndarray,
+    roi_levels: jnp.ndarray,
+    valid: jnp.ndarray,
+    resolution: int,
+    sampling_ratio: int = 2,
+) -> jnp.ndarray:
+    """Windowed-kernel drop-in for ops.proposals.multilevel_roi_align
+    (same signature/semantics; see module docstring)."""
+    return _windowed_forward(
+        features, rois, roi_levels, valid, resolution, sampling_ratio
+    )
+
+
+def _fwd(features, rois, roi_levels, valid, resolution, sampling_ratio):
+    out = _windowed_forward(
+        features, rois, roi_levels, valid, resolution, sampling_ratio
+    )
+    return out, (features, rois, roi_levels, valid)
+
+
+def _bwd(resolution, sampling_ratio, residuals, g):
+    features, rois, roi_levels, valid = residuals
+    df = _mlra_bwd_features(
+        features, rois, roi_levels, valid, resolution, sampling_ratio, g
+    )
+    # proposals/levels/validity are stop-gradient upstream (the reference
+    # never differentiates through roi coords either); int/bool primals
+    # take float0 cotangents
+    f0 = jax.dtypes.float0
+    return (df, jnp.zeros_like(rois),
+            np.zeros(roi_levels.shape, dtype=f0),
+            np.zeros(valid.shape, dtype=f0))
+
+
+multilevel_roi_align_windowed.defvjp(_fwd, _bwd)

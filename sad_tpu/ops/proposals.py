@@ -206,7 +206,35 @@ def multilevel_roi_align(
     BatchPermutation shuffle, detector.py:240-305). Static-shape strategy:
     run roi_align on every level for all R rois and select per roi — rois
     stay in their original order, so the reference's restore-permutation is
-    unnecessary. Returns (R, res, res, C)."""
+    unnecessary. Returns (R, res, res, C).
+
+    On TPU this dispatches to the windowed Pallas kernel
+    (ops/pallas_roi_align.py): identical semantics, but each roi reads only
+    the small window of its ONE assigned level instead of running dense
+    matmuls against every level (~100x fewer FLOPs; measured in
+    BENCH_NOTES.md)."""
+    from . import pallas_roi_align
+
+    if pallas_roi_align.use_windowed_kernel(rois.shape[0]):
+        return pallas_roi_align.multilevel_roi_align_windowed(
+            features, rois, roi_levels, valid, resolution, sampling_ratio
+        )
+    return dense_multilevel_roi_align(
+        features, rois, roi_levels, valid, resolution, sampling_ratio
+    )
+
+
+def dense_multilevel_roi_align(
+    features: Dict[int, jnp.ndarray],
+    rois: jnp.ndarray,
+    roi_levels: jnp.ndarray,
+    valid: jnp.ndarray,
+    resolution: int,
+    sampling_ratio: int = 2,
+) -> jnp.ndarray:
+    """The all-levels tent-matmul form (linear in `features` — the windowed
+    kernel's custom VJP takes its backward as jax.linear_transpose of
+    this)."""
     from .detectron_ops import roi_align
 
     outs = []

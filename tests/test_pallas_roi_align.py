@@ -1,0 +1,108 @@
+"""Windowed Pallas RoIAlign (ops/pallas_roi_align.py) vs the dense
+matmul form — forward and custom-VJP backward must agree.
+
+Runs the kernel in interpret mode on CPU (same policy as
+test_pallas_nms.py); shapes are kept small because interpret mode pays a
+Python-level cost per roi. Covers: level routing, extreme aspect ratios
+(single-axis extents beyond the window => multi-tile accumulation),
+boundary boxes, malformed rois, invalid-slot masking, res 7 and 14."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sad_tpu.ops import pallas_roi_align
+from sad_tpu.ops.pallas_roi_align import multilevel_roi_align_windowed
+from sad_tpu.ops.proposals import (
+    map_rois_to_fpn_levels,
+    multilevel_roi_align,
+)
+
+
+@pytest.fixture
+def setup():
+    rng = np.random.RandomState(0)
+    b, c = 2, 8
+    hc, wc = 256, 384  # canvas; P2 = 64x96
+    feats = {
+        l: jnp.asarray(
+            rng.randn(b, hc // 2 ** l, wc // 2 ** l, c).astype(np.float32)
+        )
+        for l in (2, 3, 4, 5)
+    }
+    r = 21
+    x1 = rng.uniform(0, wc * 0.8, r)
+    y1 = rng.uniform(0, hc * 0.8, r)
+    # small (P2), large (P4/P5), extreme-aspect (multi-tile), degenerate
+    w = np.concatenate(
+        [rng.uniform(6, 40, 8), rng.uniform(100, 300, 5),
+         rng.uniform(2, 6, 4), rng.uniform(200, 370, 4)]
+    )
+    h = np.concatenate(
+        [rng.uniform(6, 40, 8), rng.uniform(100, 200, 5),
+         rng.uniform(150, 250, 4), rng.uniform(1, 4, 4)]
+    )
+    rois = np.stack(
+        [rng.randint(0, b, r).astype(np.float32), x1, y1,
+         np.minimum(x1 + w, wc - 1), np.minimum(y1 + h, hc - 1)],
+        axis=1,
+    ).astype(np.float32)
+    rois[-1, 1:] = [10.0, 10.0, 10.0, 10.0]  # zero-area -> 1px-bin rule
+    rois = jnp.asarray(rois)
+    levels = map_rois_to_fpn_levels(rois[:, 1:], 2, 5)
+    valid = jnp.asarray(rng.rand(r) > 0.15)
+    return feats, rois, levels, valid
+
+
+@pytest.mark.parametrize("res", [7, 14])
+def test_windowed_matches_dense_forward(setup, res):
+    feats, rois, levels, valid = setup
+    ref = multilevel_roi_align(feats, rois, levels, valid, res, 2)
+    got = multilevel_roi_align_windowed(feats, rois, levels, valid, res, 2)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=2e-4, rtol=1e-4
+    )
+
+
+def test_windowed_backward_matches_dense_grad(setup):
+    feats, rois, levels, valid = setup
+
+    def loss(fn):
+        def f(fd):
+            o = fn(fd, rois, levels, valid, 7, 2)
+            return jnp.sum(jnp.sin(o) * o)
+
+        return f
+
+    gd = jax.grad(loss(multilevel_roi_align))(feats)
+    gw = jax.grad(loss(multilevel_roi_align_windowed))(feats)
+    for l in sorted(feats):
+        np.testing.assert_allclose(
+            np.asarray(gw[l]), np.asarray(gd[l]), atol=5e-4, rtol=1e-4
+        )
+
+
+def test_public_dispatch_forced_kernel(setup, monkeypatch):
+    """multilevel_roi_align routes through the kernel when forced — keeps
+    the dispatch branch alive in the CPU suite."""
+    feats, rois, levels, valid = setup
+    ref = multilevel_roi_align(feats, rois, levels, valid, 7, 2)
+    monkeypatch.setattr(pallas_roi_align, "USE_PALLAS_ROI_ALIGN", True)
+    got = multilevel_roi_align(feats, rois, levels, valid, 7, 2)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=2e-4, rtol=1e-4
+    )
+
+
+def test_windowed_under_jit(setup):
+    feats, rois, levels, valid = setup
+    f = jax.jit(
+        lambda fd, ro: multilevel_roi_align_windowed(
+            fd, ro, map_rois_to_fpn_levels(ro[:, 1:], 2, 5), valid, 7, 2
+        )
+    )
+    ref = multilevel_roi_align(feats, rois, levels, valid, 7, 2)
+    np.testing.assert_allclose(
+        np.asarray(f(feats, rois)), np.asarray(ref), atol=2e-4, rtol=1e-4
+    )
