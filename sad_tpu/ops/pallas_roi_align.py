@@ -28,10 +28,15 @@ jax.linear_transpose of the dense matmul form (RoIAlign is linear in
 features) — numerically identical to jax.grad of the dense op, at the
 dense backward's cost, without its forward.
 
-Grid layout: ROIS_PER_PROGRAM rois per program; per-roi scalars
-(level/batch/window offsets/tile counts + bitcast f32 roi geometry) ride
-a single scalar-prefetch int32 array in SMEM, which bounds R to a few
-thousand (all call sites: <=1024 train, <=1000 eval, <=128 aux heads).
+Grid layout: ROIS_PER_PROGRAM rois per program, software-pipelined (roi
+rr+1's first-tile DMA is in flight on the other buffer/semaphore while roi
+rr computes, and a tile's tent weights are computed before its DMA wait).
+Per-roi int scalars (level/batch/window offsets/tile counts) ride ONE
+scalar-prefetch int32 array in SMEM — one, because each prefetch operand
+reserves a 512K SMEM window of the 1M budget — which bounds R to a few
+thousand (all call sites: <=1024 train, <=1000 eval, <=128 aux heads);
+the four f32 roi-geometry scalars ride a VMEM-blocked input instead
+(Mosaic has no scalar bitcast to smuggle them through the int array).
 """
 
 from __future__ import annotations
@@ -128,8 +133,46 @@ def _mlra_kernel(
     win_ref, acc_ref, sem_ref = refs[2 + len(level_dims):]
     pid = pl.program_id(0)
 
+    def first_tile_copies(r_idx, slot):
+        """Copy descriptors for roi r_idx's FIRST tile, one per level (the
+        issue and the wait both reconstruct the identical descriptor — the
+        guide's double-buffer pattern)."""
+        b_n = meta_ref[r_idx, 1]
+        h0_n = meta_ref[r_idx, 2]
+        w0_n = meta_ref[r_idx, 3]
+        copies = []
+        for li, (h_l, w_l) in enumerate(level_dims):
+            winy = min(WIN, h_l)
+            w_pad = _w_padded(w_l)
+            dx = _dma_width(w_l)
+            dma_h = jnp.minimum(h0_n, h_l - winy)
+            dma_w = jnp.clip(w0_n, 0, w_pad - dx)
+            dma_w = pl.multiple_of((dma_w // 8) * 8, 8)
+            copies.append(pltpu.make_async_copy(
+                feat_refs[li].at[
+                    b_n, pl.ds(dma_h, winy), pl.ds(dma_w, dx), :
+                ],
+                win_ref.at[slot, :winy, :dx, :],
+                sem_ref.at[slot],
+            ))
+        return copies
+
+    def issue_first(r_idx, slot):
+        copies = first_tile_copies(r_idx, slot)
+        lvl_n = meta_ref[r_idx, 0]
+        for li in range(len(level_dims)):
+            @pl.when(lvl_n == li)
+            def _(li=li):
+                copies[li].start()
+
+    # software pipeline: roi rr+1's first-tile DMA is in flight (other
+    # slot/semaphore) while roi rr computes; tent weights for the current
+    # tile are computed BEFORE its wait, hiding them under the transfer.
+    issue_first(pid * rpp, 0)
+
     for rr in range(rpp):
         r = pid * rpp + rr
+        slot = rr % 2
         lvl = meta_ref[r, 0]
         b = meta_ref[r, 1]
         h0 = meta_ref[r, 2]
@@ -141,7 +184,11 @@ def _mlra_kernel(
         binh = fmeta_ref[rr, 2]
         binw = fmeta_ref[rr, 3]
 
+        if rr + 1 < rpp:
+            issue_first(r + 1, 1 - slot)
+
         acc_ref[...] = jnp.zeros(acc_ref.shape, acc_ref.dtype)
+        wait_copies = first_tile_copies(r, slot)
 
         for li, (h_l, w_l) in enumerate(level_dims):
             # h_l, w_l: LOGICAL level dims; the feature ref's W is padded
@@ -156,32 +203,16 @@ def _mlra_kernel(
             @pl.when(lvl == li)
             def _(li=li, h_l=h_l, w_l=w_l, winy=winy, winx=winx,
                   w_pad=w_pad, dx=dx):
-                def tile(t, _):
-                    ty = t // ntx
-                    tx = t - ty * ntx
-                    nom_h = h0 + ty * winy
-                    nom_w = w0 + tx * winx
-                    dma_h = jnp.minimum(nom_h, h_l - winy)
-                    dma_w = jnp.clip(nom_w, 0, w_pad - dx)
-                    dma_w = pl.multiple_of((dma_w // 8) * 8, 8)
-                    cp = pltpu.make_async_copy(
-                        feat_refs[li].at[
-                            b, pl.ds(dma_h, winy), pl.ds(dma_w, dx), :
-                        ],
-                        win_ref.at[:winy, :dx, :],
-                        sem_ref,
-                    )
-                    cp.start()
-                    cp.wait()
-
+                def contract(dma_h, dma_w, nom_h, nom_w, wait_fn):
                     wy = _axis_weights_window(
                         y1, binh, dma_h, nom_h, winy, h_l, winy, res, sr
                     )
                     wx = _axis_weights_window(
                         x1, binw, dma_w, nom_w, winx, w_l, dx, res, sr
                     )
+                    wait_fn()
                     w2d = (
-                        win_ref[:winy, :dx, :]
+                        win_ref[slot, :winy, :dx, :]
                         .astype(jnp.float32)
                         .reshape(winy, dx * c)
                     )
@@ -197,9 +228,35 @@ def _mlra_kernel(
                             preferred_element_type=jnp.float32,
                         )  # (res_q, C)
                         acc_ref[:, p * c:(p + 1) * c] += o_p
+
+                # tile 0: already in flight from the pipeline
+                dma_h0 = jnp.minimum(h0, h_l - winy)
+                dma_w0 = jnp.clip(w0, 0, w_pad - dx)
+                dma_w0 = pl.multiple_of((dma_w0 // 8) * 8, 8)
+                contract(dma_h0, dma_w0, h0, w0, wait_copies[li].wait)
+
+                def tile(t, _):
+                    # overflow tiles (extreme-aspect rois): synchronous,
+                    # reusing this roi's slot after tile 0's compute
+                    ty = t // ntx
+                    tx = t - ty * ntx
+                    nom_h = h0 + ty * winy
+                    nom_w = w0 + tx * winx
+                    dma_h = jnp.minimum(nom_h, h_l - winy)
+                    dma_w = jnp.clip(nom_w, 0, w_pad - dx)
+                    dma_w = pl.multiple_of((dma_w // 8) * 8, 8)
+                    cp = pltpu.make_async_copy(
+                        feat_refs[li].at[
+                            b, pl.ds(dma_h, winy), pl.ds(dma_w, dx), :
+                        ],
+                        win_ref.at[slot, :winy, :dx, :],
+                        sem_ref.at[slot],
+                    )
+                    cp.start()
+                    contract(dma_h, dma_w, nom_h, nom_w, cp.wait)
                     return 0
 
-                jax.lax.fori_loop(0, n_tiles, tile, 0, unroll=False)
+                jax.lax.fori_loop(1, n_tiles, tile, 0, unroll=False)
 
         for p in range(res):
             out_ref[rr, p, :, :] = acc_ref[:, p * c:(p + 1) * c].astype(
@@ -281,11 +338,11 @@ def _windowed_forward(
         ),
         scratch_shapes=[
             pltpu.VMEM(
-                (WIN, max(_dma_width(d[1]) for d in dims), int(c)),
+                (2, WIN, max(_dma_width(d[1]) for d in dims), int(c)),
                 out_dtype,
             ),
             pltpu.VMEM((res, res * int(c)), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out_call = pl.pallas_call(
