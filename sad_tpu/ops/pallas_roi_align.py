@@ -22,11 +22,15 @@ handled exactly by a dynamic tile loop: each tile owns a disjoint
 absolute-column range, so accumulating tile contributions reproduces the
 full-width contraction.
 
-Gradients: proposals are stop-gradient upstream (rcnn_train.py:287), so
-only d/d(features) exists; the custom VJP computes it as
-jax.linear_transpose of the dense matmul form (RoIAlign is linear in
-features) — numerically identical to jax.grad of the dense op, at the
-dense backward's cost, without its forward.
+Gradients: proposals are stop-gradient at the dispatch site
+(ops/proposals.py multilevel_roi_align — the reference never
+differentiates roi coords either), so only d/d(features) exists. On TPU
+the custom VJP runs a second windowed kernel (_mlra_bwd_kernel): per roi,
+read-modify-write its window of a zero-initialized f32 per-level gradient
+with the transposed tent-weight contractions — plain RMW is race-free
+because the TPU grid is sequential (the CUDA backward needs atomicAdd,
+roi_align_op.cu:200-300). Off-TPU it falls back to jax.linear_transpose
+of the dense matmul form.
 
 Grid layout: ROIS_PER_PROGRAM rois per program, software-pipelined (roi
 rr+1's first-tile DMA is in flight on the other buffer/semaphore while roi
@@ -60,7 +64,9 @@ MAX_ROIS = 8192
 # None = auto (kernel on TPU, dense matmuls elsewhere — the interpreter
 # pays a Python-level cost per roi that would bog the CPU suite down);
 # True/False force either path (tests force True to keep the kernel
-# branch alive on CPU).
+# branch alive on CPU). Read at TRACE time: flipping it does not affect
+# already-jitted callables (their path is baked in), only functions traced
+# after the flip — tests monkeypatch + define fresh closures per case.
 USE_PALLAS_ROI_ALIGN = None
 
 
@@ -264,20 +270,21 @@ def _mlra_kernel(
             )
 
 
-def _windowed_forward(
+def _build_meta(
     features: Dict[int, jnp.ndarray],
-    rois: jnp.ndarray,  # (R, 5) [batch, x1, y1, x2, y2]
-    roi_levels: jnp.ndarray,  # (R,) absolute FPN level per roi
-    valid: jnp.ndarray,  # (R,)
+    rois: jnp.ndarray,
+    roi_levels: jnp.ndarray,
     resolution: int,
     sampling_ratio: int,
-) -> jnp.ndarray:
+):
+    """Shared fwd/bwd per-roi descriptor construction: the int32 SMEM meta
+    (level, batch, window offsets, tile counts) and the f32 VMEM fmeta
+    (roi geometry), both padded to a ROIS_PER_PROGRAM multiple."""
     lvls = sorted(features)
     assert lvls == list(range(lvls[0], lvls[-1] + 1)), "levels not contiguous"
     dims = tuple(
         (int(features[l].shape[1]), int(features[l].shape[2])) for l in lvls
     )
-    b, _, _, c = features[lvls[0]].shape
     res, sr = resolution, sampling_ratio
     r = rois.shape[0]
     rpp = ROIS_PER_PROGRAM
@@ -320,6 +327,24 @@ def _windowed_forward(
     meta = jnp.pad(meta, ((0, r_pad - r), (0, 0)))
     fmeta = jnp.stack([y1, x1, binh, binw], axis=1).astype(f32)
     fmeta = jnp.pad(fmeta, ((0, r_pad - r), (0, 0)))
+    return meta, fmeta, lvls, dims, r_pad
+
+
+def _windowed_forward(
+    features: Dict[int, jnp.ndarray],
+    rois: jnp.ndarray,  # (R, 5) [batch, x1, y1, x2, y2]
+    roi_levels: jnp.ndarray,  # (R,) absolute FPN level per roi
+    valid: jnp.ndarray,  # (R,)
+    resolution: int,
+    sampling_ratio: int,
+) -> jnp.ndarray:
+    meta, fmeta, lvls, dims, r_pad = _build_meta(
+        features, rois, roi_levels, resolution, sampling_ratio
+    )
+    b, _, _, c = features[lvls[0]].shape
+    res, sr = resolution, sampling_ratio
+    r = rois.shape[0]
+    rpp = ROIS_PER_PROGRAM
 
     out_dtype = features[lvls[0]].dtype
     kernel = functools.partial(
@@ -331,7 +356,7 @@ def _windowed_forward(
         in_specs=[
             pl.BlockSpec((rpp, FMETA_COLS), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-        ] + [pl.BlockSpec(memory_space=pltpu.ANY)] * len(lvls),
+        ] + [pl.BlockSpec(memory_space=pl.ANY)] * len(lvls),
         out_specs=pl.BlockSpec(
             (rpp, res, res, c), lambda i, *_: (i, 0, 0, 0),
             memory_space=pltpu.VMEM,
@@ -363,6 +388,187 @@ def _windowed_forward(
     return out * valid[:, None, None, None].astype(out.dtype)
 
 
+def _mlra_bwd_kernel(
+    meta_ref,  # (R_pad, META_COLS) int32, scalar-prefetched (SMEM)
+    fmeta_ref,  # (rpp, FMETA_COLS) f32 block
+    g_ref,  # (rpp, res, res, C) cotangent block
+    *refs,
+    level_dims: Tuple[Tuple[int, int], ...],
+    res: int,
+    sr: int,
+    c: int,
+    rpp: int,
+):
+    """Windowed RoIAlign backward: per roi, read-modify-write its window of
+    the f32 per-level gradient (zero-initialized, input_output_aliased):
+    dwin[y, x, ch] = sum_p wy[p, y] * sum_q wx[q, x] * g[p, q, ch], the
+    exact transpose of the forward's two tent-weight contractions (ref:
+    roi_align_op.cu backward, the bilinear_interpolate_gradient atomics at
+    roi_align_op.cu:200-300 — here the grid is SEQUENTIAL on the
+    TensorCore, so plain RMW replaces the CUDA kernel's atomicAdd).
+    Overlapping windows across rois/tiles are safe for the same reason:
+    every read happens after the previous write completed."""
+    n_l = len(level_dims)
+    df_in_refs = refs[:n_l]  # aliased with outputs; never touched directly
+    df_refs = refs[n_l:2 * n_l]
+    stage_ref, sem_ref = refs[2 * n_l:]
+    del df_in_refs
+    pid = pl.program_id(0)
+
+    for rr in range(rpp):
+        r = pid * rpp + rr
+        lvl = meta_ref[r, 0]
+        b = meta_ref[r, 1]
+        h0 = meta_ref[r, 2]
+        w0 = meta_ref[r, 3]
+        n_tiles = meta_ref[r, 4] * meta_ref[r, 5]
+        ntx = meta_ref[r, 5]
+        y1 = fmeta_ref[rr, 0]
+        x1 = fmeta_ref[rr, 1]
+        binh = fmeta_ref[rr, 2]
+        binw = fmeta_ref[rr, 3]
+
+        for li, (h_l, w_l) in enumerate(level_dims):
+            winy = min(WIN, h_l)
+            winx = min(WIN, w_l)
+            w_pad = _w_padded(w_l)
+            dx = _dma_width(w_l)
+
+            @pl.when(lvl == li)
+            def _(li=li, h_l=h_l, w_l=w_l, winy=winy, winx=winx,
+                  w_pad=w_pad, dx=dx):
+                def tile(t, _):
+                    ty = t // ntx
+                    tx = t - ty * ntx
+                    nom_h = h0 + ty * winy
+                    nom_w = w0 + tx * winx
+                    dma_h = jnp.minimum(nom_h, h_l - winy)
+                    dma_w = jnp.clip(nom_w, 0, w_pad - dx)
+                    dma_w = pl.multiple_of((dma_w // 8) * 8, 8)
+                    rd = pltpu.make_async_copy(
+                        df_refs[li].at[
+                            b, pl.ds(dma_h, winy), pl.ds(dma_w, dx), :
+                        ],
+                        stage_ref.at[:winy, :dx, :],
+                        sem_ref,
+                    )
+                    rd.start()
+                    # tent weights + the transposed contractions are
+                    # data-independent: computed while the read is in flight
+                    wy = _axis_weights_window(
+                        y1, binh, dma_h, nom_h, winy, h_l, winy, res, sr
+                    )
+                    wx = _axis_weights_window(
+                        x1, binw, dma_w, nom_w, winx, w_l, dx, res, sr
+                    )
+                    # m[p, x, ch] = sum_q wx[q, x] * g[p, q, ch]
+                    m = jnp.stack(
+                        [
+                            jax.lax.dot_general(
+                                wx,
+                                g_ref[rr, p, :, :].astype(jnp.float32),
+                                (((0,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            )
+                            for p in range(res)
+                        ],
+                        axis=0,
+                    ).reshape(res, dx * c)
+                    dwin = jax.lax.dot_general(
+                        wy, m, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ).reshape(winy, dx, c)
+                    rd.wait()
+                    stage_ref[:winy, :dx, :] += dwin
+                    wr = pltpu.make_async_copy(
+                        stage_ref.at[:winy, :dx, :],
+                        df_refs[li].at[
+                            b, pl.ds(dma_h, winy), pl.ds(dma_w, dx), :
+                        ],
+                        sem_ref,
+                    )
+                    wr.start()
+                    wr.wait()
+                    return 0
+
+                # padded rois have n_tiles == 0: the loop never runs, so
+                # they add nothing (unlike the forward, whose always-run
+                # tile 0 writes garbage into sliced-off output rows)
+                jax.lax.fori_loop(0, n_tiles, tile, 0, unroll=False)
+
+
+def _windowed_backward(
+    features: Dict[int, jnp.ndarray],
+    rois: jnp.ndarray,
+    roi_levels: jnp.ndarray,
+    valid: jnp.ndarray,
+    res: int,
+    sr: int,
+    g: jnp.ndarray,  # (R, res, res, C) cotangent
+) -> Dict[int, jnp.ndarray]:
+    meta, fmeta, lvls, dims, r_pad = _build_meta(
+        features, rois, roi_levels, res, sr
+    )
+    b, _, _, c = features[lvls[0]].shape
+    r = rois.shape[0]
+    rpp = ROIS_PER_PROGRAM
+
+    # invalid rois contribute nothing (transpose of the forward's valid
+    # mask); padded rows are skipped by n_tiles == 0 but zero g anyway
+    g = g * valid[:, None, None, None].astype(g.dtype)
+    g = jnp.pad(g, ((0, r_pad - r), (0, 0), (0, 0), (0, 0)))
+
+    # f32 accumulation regardless of feature dtype: per-roi RMW rounding
+    # in bf16 would drift with overlap count; cast once at the end
+    df_zero = [
+        jnp.zeros((b, h_l, _w_padded(w_l), c), jnp.float32)
+        for (h_l, w_l) in dims
+    ]
+    kernel = functools.partial(
+        _mlra_bwd_kernel, level_dims=dims, res=res, sr=sr, c=int(c), rpp=rpp,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(r_pad // rpp,),
+        in_specs=[
+            pl.BlockSpec((rpp, FMETA_COLS), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rpp, res, res, c), lambda i, *_: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec(memory_space=pl.ANY)] * len(lvls),
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(lvls),
+        scratch_shapes=[
+            pltpu.VMEM(
+                (WIN, max(_dma_width(d[1]) for d in dims), int(c)),
+                jnp.float32,
+            ),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    call = pl.pallas_call(
+        kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h_l, _w_padded(w_l), c), jnp.float32)
+            for (h_l, w_l) in dims
+        ],
+        grid_spec=grid_spec,
+        # aliasing indices count the scalar-prefetch operand: inputs are
+        # [meta, fmeta, g, df_zero...] so df_zero[i] is global input 3+i
+        input_output_aliases={3 + i: i for i in range(len(lvls))},
+        # RMW accumulation requires the sequential grid the TPU gives
+        # "arbitrary" dimensions (no megacore partitioning of this axis)
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)
+        ),
+        interpret=_interpret(),
+    )
+    outs = call(meta, fmeta, g, *df_zero)
+    return {
+        l: o[:, :, :w_l, :].astype(features[l].dtype)
+        for l, (h_l, w_l), o in zip(lvls, dims, outs)
+    }
+
+
 def _mlra_bwd_features(
     features: Dict[int, jnp.ndarray],
     rois: jnp.ndarray,
@@ -372,12 +578,16 @@ def _mlra_bwd_features(
     sr: int,
     g: jnp.ndarray,  # (R, res, res, C) cotangent
 ) -> Dict[int, jnp.ndarray]:
-    """d/d(features) via jax.linear_transpose of the dense matmul form
-    (RoIAlign is linear in features): XLA transposes the chunked
-    tent-weight matmuls — the same backward it autodiffs for the dense
-    path, without paying the dense forward. A first hand-derived
-    contraction order materialized an (R, W, res, C) intermediate and
-    measured SLOWER than this (17.3 vs 12.9 ms fwd+bwd on chip)."""
+    """d/d(features): the windowed RMW kernel when the forward ran windowed;
+    otherwise jax.linear_transpose of the dense matmul form (RoIAlign is
+    linear in features) — XLA transposes the chunked tent-weight matmuls,
+    the same backward it autodiffs for the dense path. A first hand-derived
+    dense contraction order materialized an (R, W, res, C) intermediate and
+    measured SLOWER than the transpose (17.3 vs 12.9 ms fwd+bwd on chip)."""
+    if use_windowed_kernel(rois.shape[0]):
+        return _windowed_backward(
+            features, rois, roi_levels, valid, res, sr, g
+        )
     from .proposals import dense_multilevel_roi_align
 
     def lin(f):

@@ -215,6 +215,12 @@ def multilevel_roi_align(
     BENCH_NOTES.md)."""
     from . import pallas_roi_align
 
+    # Contract: NO gradient flows through roi coordinates on either path
+    # (the reference treats proposals as data, never differentiating the
+    # bilinear tent weights w.r.t. rois; the windowed kernel's VJP returns
+    # zero for rois, so make the dense path match loudly here rather than
+    # silently diverge)
+    rois = jax.lax.stop_gradient(rois)
     if pallas_roi_align.use_windowed_kernel(rois.shape[0]):
         return pallas_roi_align.multilevel_roi_align_windowed(
             features, rois, roi_levels, valid, resolution, sampling_ratio

@@ -203,5 +203,16 @@ def test_proposal_candidates_approx_branch_matches_exact_on_cpu():
             )
         )(scores, deltas, im_hw)
 
-    for e, ap in zip(run(True), run(False)):
-        np.testing.assert_array_equal(np.asarray(e), np.asarray(ap))
+    # Compare as a canonical-sorted set of candidate rows rather than
+    # positionally: positional bitwise equality would rely on the non-TPU
+    # approx_max_k fallback's tie ordering matching top_k's — an XLA
+    # implementation detail, not a contract. Same candidate multiset ⇒
+    # identical downstream NMS behavior.
+    def rows(out):
+        boxes, top_scores, masked_scores = (np.asarray(o) for o in out)
+        stacked = np.concatenate(
+            [top_scores[:, None], masked_scores[:, None], boxes], axis=1
+        )
+        return stacked[np.lexsort(stacked.T[::-1])]
+
+    np.testing.assert_allclose(rows(run(True)), rows(run(False)), rtol=1e-6)

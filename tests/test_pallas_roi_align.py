@@ -83,6 +83,55 @@ def test_windowed_backward_matches_dense_grad(setup):
         )
 
 
+def test_windowed_rmw_backward_matches_dense_grad(setup, monkeypatch):
+    """Force the windowed RMW backward kernel (interpret mode) — without
+    the force, CPU routes _mlra_bwd_features to the dense-transpose
+    fallback and the kernel branch would go untested."""
+    monkeypatch.setattr(pallas_roi_align, "USE_PALLAS_ROI_ALIGN", True)
+    feats, rois, levels, valid = setup
+
+    def loss(fn):
+        def f(fd):
+            o = fn(fd, rois, levels, valid, 7, 2)
+            return jnp.sum(jnp.sin(o) * o)
+
+        return f
+
+    gd = jax.grad(loss(multilevel_roi_align))(feats)
+    monkeypatch.setattr(pallas_roi_align, "USE_PALLAS_ROI_ALIGN", False)
+    gref = jax.grad(loss(multilevel_roi_align))(feats)
+    for l in sorted(feats):
+        np.testing.assert_allclose(
+            np.asarray(gd[l]), np.asarray(gref[l]), atol=5e-4, rtol=1e-4
+        )
+
+
+def test_windowed_rmw_backward_bf16_features(setup, monkeypatch):
+    """bf16 features: the RMW kernel accumulates in f32 and casts once at
+    the end; parity vs the dense-transpose grad at bf16 tolerance."""
+    monkeypatch.setattr(pallas_roi_align, "USE_PALLAS_ROI_ALIGN", True)
+    feats, rois, levels, valid = setup
+    feats16 = {l: f.astype(jnp.bfloat16) for l, f in feats.items()}
+
+    def loss(fn):
+        def f(fd):
+            o = fn(fd, rois, levels, valid, 7, 2)
+            return jnp.sum(o.astype(jnp.float32) ** 2)
+
+        return f
+
+    gw = jax.grad(loss(multilevel_roi_align_windowed))(feats16)
+    monkeypatch.setattr(pallas_roi_align, "USE_PALLAS_ROI_ALIGN", False)
+    gref = jax.grad(loss(multilevel_roi_align))(feats16)
+    for l in sorted(feats):
+        assert gw[l].dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(gw[l], dtype=np.float32),
+            np.asarray(gref[l], dtype=np.float32),
+            atol=0.15, rtol=0.05,
+        )
+
+
 def test_public_dispatch_forced_kernel(setup, monkeypatch):
     """multilevel_roi_align routes through the kernel when forced — keeps
     the dispatch branch alive in the CPU suite."""

@@ -34,6 +34,11 @@ environment contract a real-COCO run uses (docs/RUNBOOK_COCO.md).
 
 Run: PYTHONPATH="/root/repo:$PYTHONPATH" python tools_drives/dress_rehearsal_drive.py
      [--smoke]   (tiny CPU smoke of the full phase graph)
+     [--root D]  (resume: reuse an existing rehearsal dir, skipping every
+                  phase whose final artifact already exists — the round-3
+                  chip run died mid-phase-4 at end-of-round, and all configs
+                  below are deterministic, so a rerun over the same root
+                  picks up exactly where it stopped)
 """
 
 from __future__ import annotations
@@ -143,6 +148,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true",
                     help="tiny CPU smoke of the full phase graph")
+    ap.add_argument("--root", default=None,
+                    help="resume over an existing rehearsal dir")
     ap.add_argument("--iters", type=int, default=2000)
     ap.add_argument("--train-images", type=int, default=512)
     ap.add_argument("--val-images", type=int, default=256)
@@ -152,15 +159,18 @@ def main():
         args.iters = 8
         args.train_images = args.val_images = args.unlabeled_images = 8
 
-    root = tempfile.mkdtemp(prefix="rehearsal_")
+    root = args.root or tempfile.mkdtemp(prefix="rehearsal_")
     size_range = (80, 120) if args.smoke else (260, 460)
     scales = (64,) if args.smoke else (320,)
     max_size = 128 if args.smoke else 512
     t0 = time.perf_counter()
-    gen_coco_layout(root, args.train_images, args.val_images,
-                    args.unlabeled_images, size_range)
-    print(f"dataset gen: {time.perf_counter() - t0:.0f}s -> {root}",
-          flush=True)
+    if os.path.isdir(os.path.join(root, "coco", "annotations")):
+        print(f"dataset: reusing {root}", flush=True)
+    else:
+        gen_coco_layout(root, args.train_images, args.val_images,
+                        args.unlabeled_images, size_range)
+        print(f"dataset gen: {time.perf_counter() - t0:.0f}s -> {root}",
+              flush=True)
 
     env = dict(os.environ)
     env["SAD_TPU_DATA_DIR"] = root
@@ -214,17 +224,23 @@ def main():
         ratio=0.5, extra={"OUTPUT_DIR": teacher_out,
                           "RESNETS": {"CHANNEL_RATIO": 0.5}},
     ))
-    t0 = time.perf_counter()
-    run_cli(env, "sad_tpu.tools.train_net",
-            ["--cfg", teacher_yaml, "--skip-test"], log)
-    print(f"phase1 teacher train: {time.perf_counter() - t0:.0f}s", flush=True)
     teacher_ckpt = os.path.join(teacher_out, "train", "coco_2017_train",
                                 "model_final.pkl")
+    if os.path.exists(teacher_ckpt):
+        print("phase1 teacher train: SKIP (checkpoint exists)", flush=True)
+    else:
+        t0 = time.perf_counter()
+        run_cli(env, "sad_tpu.tools.train_net",
+                ["--cfg", teacher_yaml, "--skip-test"], log)
+        print(f"phase1 teacher train: {time.perf_counter() - t0:.0f}s",
+              flush=True)
     assert os.path.exists(teacher_ckpt)
 
-    run_cli(env, "sad_tpu.tools.test_net",
-            ["--cfg", teacher_yaml, "TEST.WEIGHTS", teacher_ckpt,
-             "OUTPUT_DIR", teacher_out], log)
+    if not os.path.exists(os.path.join(teacher_out, "test", "coco_2017_val",
+                                       "results.json")):
+        run_cli(env, "sad_tpu.tools.test_net",
+                ["--cfg", teacher_yaml, "TEST.WEIGHTS", teacher_ckpt,
+                 "OUTPUT_DIR", teacher_out], log)
     r_teacher = load_results(teacher_out, "coco_2017_val")
     print("phase2 teacher AP:", r_teacher["AP"], flush=True)
 
@@ -233,12 +249,15 @@ def main():
     pseudo_json = os.path.join(root, "coco", "annotations",
                                "pseudo_unlabeled2017_R101_600.json")
     t0 = time.perf_counter()
-    run_cli(env, "sad_tpu.tools.test_net",
-            ["--cfg", teacher_yaml, "--pseudo-out", pseudo_json,
-             "--pseudo-score-thresh", "0.35",
-             "TEST.WEIGHTS", teacher_ckpt,
-             "TEST.DATASETS", "('coco_2017_unlabel',)",
-             "OUTPUT_DIR", os.path.join(root, "pseudo_run")], log)
+    if os.path.exists(pseudo_json):
+        print("phase3 pseudo-gen: SKIP (json exists)", flush=True)
+    else:
+        run_cli(env, "sad_tpu.tools.test_net",
+                ["--cfg", teacher_yaml, "--pseudo-out", pseudo_json,
+                 "--pseudo-score-thresh", "0.35",
+                 "TEST.WEIGHTS", teacher_ckpt,
+                 "TEST.DATASETS", "('coco_2017_unlabel',)",
+                 "OUTPUT_DIR", os.path.join(root, "pseudo_run")], log)
     with open(pseudo_json) as f:
         pseudo = json.load(f)
     print(f"phase3 pseudo-gen: {time.perf_counter() - t0:.0f}s, "
@@ -254,17 +273,24 @@ def main():
             ratio=0.25,
             extra={"OUTPUT_DIR": out, "COMPUTE_DTYPE": dtype, "RNG_SEED": 7},
         ))
-        t0 = time.perf_counter()
-        run_cli(env, "sad_tpu.tools.train_net", ["--cfg", y, "--skip-test"],
-                log)
-        print(f"phase4 student[{dtype}] train: "
-              f"{time.perf_counter() - t0:.0f}s", flush=True)
         ckpt = os.path.join(out, "train", "coco_2017_train", "model_final.pkl")
+        if os.path.exists(ckpt):
+            print(f"phase4 student[{dtype}] train: SKIP (checkpoint exists)",
+                  flush=True)
+        else:
+            t0 = time.perf_counter()
+            run_cli(env, "sad_tpu.tools.train_net",
+                    ["--cfg", y, "--skip-test"], log)
+            print(f"phase4 student[{dtype}] train: "
+                  f"{time.perf_counter() - t0:.0f}s", flush=True)
         for eval_dtype in ("bfloat16", "float32"):
-            run_cli(env, "sad_tpu.tools.test_net",
-                    ["--cfg", y, "TEST.WEIGHTS", ckpt,
-                     "COMPUTE_DTYPE", eval_dtype,
-                     "OUTPUT_DIR", out + f"_eval_{eval_dtype}"], log)
+            if not os.path.exists(os.path.join(
+                    out + f"_eval_{eval_dtype}", "test", "coco_2017_val",
+                    "results.json")):
+                run_cli(env, "sad_tpu.tools.test_net",
+                        ["--cfg", y, "TEST.WEIGHTS", ckpt,
+                         "COMPUTE_DTYPE", eval_dtype,
+                         "OUTPUT_DIR", out + f"_eval_{eval_dtype}"], log)
             r = load_results(out + f"_eval_{eval_dtype}", "coco_2017_val")
             student_ap[f"train_{dtype}_eval_{eval_dtype}"] = r["AP"]
     print("phase4 dtype matrix:", json.dumps(student_ap), flush=True)
@@ -288,18 +314,24 @@ def main():
         },
     })
     distill_yaml = _write_yaml(os.path.join(root, "distill.yaml"), distill_doc)
-    t0 = time.perf_counter()
-    run_cli(env, "sad_tpu.tools.train_net",
-            ["--cfg", distill_yaml, "--teacher_cfg", teacher_frozen_yaml,
-             "--skip-test"], log)
-    print(f"phase5 distill train: {time.perf_counter() - t0:.0f}s", flush=True)
     distill_ckpt = os.path.join(distill_out, "train",
                                 "coco_2017_train", "model_final.pkl")
+    if os.path.exists(distill_ckpt):
+        print("phase5 distill train: SKIP (checkpoint exists)", flush=True)
+    else:
+        t0 = time.perf_counter()
+        run_cli(env, "sad_tpu.tools.train_net",
+                ["--cfg", distill_yaml, "--teacher_cfg", teacher_frozen_yaml,
+                 "--skip-test"], log)
+        print(f"phase5 distill train: {time.perf_counter() - t0:.0f}s",
+              flush=True)
 
     # ---------------- phase 6: eval + EXPECTED_RESULTS gate through the CLI
-    run_cli(env, "sad_tpu.tools.test_net",
-            ["--cfg", distill_yaml, "TEST.WEIGHTS", distill_ckpt,
-             "OUTPUT_DIR", distill_out], log)
+    if not os.path.exists(os.path.join(distill_out, "test", "coco_2017_val",
+                                       "results.json")):
+        run_cli(env, "sad_tpu.tools.test_net",
+                ["--cfg", distill_yaml, "TEST.WEIGHTS", distill_ckpt,
+                 "OUTPUT_DIR", distill_out], log)
     r_distill = load_results(distill_out, "coco_2017_val")
     print("phase6 distilled AP:", r_distill["AP"], flush=True)
     gate = [["coco_2017_val", "box", "AP", round(float(r_distill["AP"]), 4)]]
@@ -323,20 +355,24 @@ def main():
     import glob as _glob
 
     killed_dir = os.path.join(resume_out, "train", "coco_2017_train")
+    final_resumed = os.path.join(killed_dir, "model_final.pkl")
 
     def snapshot_exists():
         return bool(_glob.glob(os.path.join(killed_dir, "model_iter*.pkl")))
 
-    rc = run_cli(env, "sad_tpu.tools.train_net",
-                 ["--cfg", resume_yaml, "--teacher_cfg", teacher_frozen_yaml,
-                  "--skip-test"], log, kill_when=snapshot_exists)
-    snaps = _glob.glob(os.path.join(killed_dir, "model_iter*.pkl"))
-    print(f"phase7 killed (rc {rc}); snapshots: "
-          f"{[os.path.basename(s) for s in snaps]}", flush=True)
-    run_cli(env, "sad_tpu.tools.train_net",
-            ["--cfg", resume_yaml, "--teacher_cfg", teacher_frozen_yaml,
-             "--skip-test"], log)
-    final_resumed = os.path.join(killed_dir, "model_final.pkl")
+    if os.path.exists(final_resumed):
+        print("phase7 kill+resume: SKIP (final exists)", flush=True)
+    else:
+        rc = run_cli(env, "sad_tpu.tools.train_net",
+                     ["--cfg", resume_yaml, "--teacher_cfg",
+                      teacher_frozen_yaml, "--skip-test"], log,
+                     kill_when=snapshot_exists)
+        snaps = _glob.glob(os.path.join(killed_dir, "model_iter*.pkl"))
+        print(f"phase7 killed (rc {rc}); snapshots: "
+              f"{[os.path.basename(s) for s in snaps]}", flush=True)
+        run_cli(env, "sad_tpu.tools.train_net",
+                ["--cfg", resume_yaml, "--teacher_cfg", teacher_frozen_yaml,
+                 "--skip-test"], log)
     identical = tree_equal(ckpt_params(distill_ckpt),
                            ckpt_params(final_resumed))
     print("phase7 resume bit-identical to uninterrupted:", identical,

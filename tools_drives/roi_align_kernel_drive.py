@@ -17,11 +17,26 @@ Run: PYTHONPATH="/root/repo:$PYTHONPATH" python tools_drives/roi_align_kernel_dr
 from __future__ import annotations
 
 import argparse
+import contextlib
 import functools
 import json
 import time
 
 import numpy as np
+
+
+@contextlib.contextmanager
+def force_path(mod, value):
+    """Force USE_PALLAS_ROI_ALIGN for one measurement, restoring on any
+    exit — an exception mid-drive must not leave the kernel forced off.
+    The global is read at TRACE time, so each forced region must define a
+    fresh jitted closure (scan_time does) rather than reuse a cached one."""
+    prev = mod.USE_PALLAS_ROI_ALIGN
+    mod.USE_PALLAS_ROI_ALIGN = value
+    try:
+        yield
+    finally:
+        mod.USE_PALLAS_ROI_ALIGN = prev
 
 
 def bench(fn, *args, iters=30):
@@ -84,9 +99,8 @@ def main():
 
         def agree_check():
             lv = map_rois_to_fpn_levels(rois0[:, 1:], 2, 5)
-            pallas_roi_align.USE_PALLAS_ROI_ALIGN = False
-            dense = multilevel_roi_align(feats, rois0, lv, valid, res, 2)
-            pallas_roi_align.USE_PALLAS_ROI_ALIGN = None
+            with force_path(pallas_roi_align, False):
+                dense = multilevel_roi_align(feats, rois0, lv, valid, res, 2)
             win = multilevel_roi_align_windowed(feats, rois0, lv, valid,
                                                 res, 2)
             d = jnp.max(jnp.abs(dense.astype(jnp.float32)
@@ -116,9 +130,8 @@ def main():
         def dense_fn(f, ro, lv, v, rs, s):
             return multilevel_roi_align(f, ro, lv, v, rs, s)
 
-        pallas_roi_align.USE_PALLAS_ROI_ALIGN = False
-        t_dense, _ = scan_time(dense_fn)
-        pallas_roi_align.USE_PALLAS_ROI_ALIGN = None
+        with force_path(pallas_roi_align, False):
+            t_dense, _ = scan_time(dense_fn)
         t_win, _ = scan_time(multilevel_roi_align_windowed)
 
         # fwd+bwd (features cotangent only, rois stop-grad like training)
@@ -144,9 +157,8 @@ def main():
 
             return bench(run, rois0, iters=iters)
 
-        pallas_roi_align.USE_PALLAS_ROI_ALIGN = False
-        tg_dense, _ = scan_time_grad(dense_fn)
-        pallas_roi_align.USE_PALLAS_ROI_ALIGN = None
+        with force_path(pallas_roi_align, False):
+            tg_dense, _ = scan_time_grad(dense_fn)
         tg_win, _ = scan_time_grad(multilevel_roi_align_windowed)
 
         results[tag] = {
