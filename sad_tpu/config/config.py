@@ -42,6 +42,12 @@ class TrainConfig:
     USE_FLIPPED: bool = True
     SNAPSHOT_ITERS: int = 20000
     AUTO_RESUME: bool = True
+    # Checkpoint backend (framework-only key). 'pickle' = reference-format
+    # flat pickles (net.py:149-182 analogue, the default); 'orbax' = async
+    # orbax.checkpoint manager (saves overlap training, retention policy,
+    # multi-host-safe) storing {params, velocity} per step under
+    # OUTPUT_DIR/checkpoints. AUTO_RESUME works with both.
+    CHECKPOINT_BACKEND: str = "pickle"
     ASPECT_GROUPING: bool = True
     RPN_STRADDLE_THRESH: float = 0.0
     GT_MIN_AREA: int = -1

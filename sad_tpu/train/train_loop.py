@@ -87,10 +87,37 @@ def train_model(
             )
             logger.info("Loaded teacher weights: %s", teacher_cfg.TRAIN.WEIGHTS)
 
+    # ----- checkpoint backend (TRAIN.CHECKPOINT_BACKEND)
+    if cfg.TRAIN.CHECKPOINT_BACKEND not in ("pickle", "orbax"):
+        raise ValueError(
+            "TRAIN.CHECKPOINT_BACKEND must be 'pickle' or 'orbax'; got "
+            f"{cfg.TRAIN.CHECKPOINT_BACKEND!r}"
+        )
+    ckptr = None
+    if cfg.TRAIN.CHECKPOINT_BACKEND == "orbax":
+        from .orbax_checkpoint import OrbaxCheckpointer
+
+        ckptr = OrbaxCheckpointer(os.path.join(output_dir, "checkpoints"))
+
     # ----- resume / init weights (train_net.py:208-233, net.py:50)
     start_iter = 0
     velocity = init_momentum_state(params).velocity
-    if cfg.TRAIN.AUTO_RESUME:
+    if cfg.TRAIN.AUTO_RESUME and ckptr is not None:
+        step = ckptr.latest_step()
+        if step is not None:
+            payload = ckptr.restore(
+                step, target={"params": params, "velocity": velocity}
+            )
+            params = jax.tree_util.tree_map(jnp.asarray, payload["params"])
+            if payload.get("velocity") is not None:
+                velocity = jax.tree_util.tree_map(
+                    jnp.asarray, payload["velocity"]
+                )
+            # the orbax step IS the resume iter; step == max_iters means a
+            # completed run (the model_final analogue) and skips the loop
+            start_iter = int(step)
+            logger.info("Auto-resumed from orbax step %d", step)
+    elif cfg.TRAIN.AUTO_RESUME:
         ckpt_path, start_iter_ = find_latest_checkpoint(output_dir)
         if ckpt_path:
             ck = load_checkpoint(ckpt_path)
@@ -354,19 +381,30 @@ def train_model(
                 logger.info("profiler trace stopped")
 
             if (it + 1) % snapshot_period == 0 and it + 1 < max_iters:
-                save_checkpoint(
-                    os.path.join(output_dir, f"model_iter{it}.pkl"),
-                    state.params, state.velocity, it + 1,
-                    cfg_yaml=cfg_yaml,
-                )
+                if ckptr is not None:
+                    # async: the save overlaps the next train steps
+                    ckptr.save(it + 1, state.params, state.velocity)
+                else:
+                    save_checkpoint(
+                        os.path.join(output_dir, f"model_iter{it}.pkl"),
+                        state.params, state.velocity, it + 1,
+                        cfg_yaml=cfg_yaml,
+                    )
         if pending is not None:
             _consume_metrics(*pending)
-        save_checkpoint(
-            os.path.join(output_dir, "model_final.pkl"),
-            state.params, state.velocity, max_iters,
-            cfg_yaml=cfg_yaml,
-        )
+        if ckptr is not None:
+            if ckptr.latest_step() != max_iters:  # resume no-op: keep as-is
+                ckptr.save(max_iters, state.params, state.velocity)
+        else:
+            save_checkpoint(
+                os.path.join(output_dir, "model_final.pkl"),
+                state.params, state.velocity, max_iters,
+                cfg_yaml=cfg_yaml,
+            )
     finally:
+        if ckptr is not None:
+            ckptr.wait()
+            ckptr.close()
         if own_loader:
             loader.shutdown()
     return state

@@ -95,3 +95,55 @@ def test_generate_pseudo_labels_roundtrip(unlabeled_dataset, tmp_path):
     assert all(len(e["boxes"]) > 0 for e in roidb)
     ds = CocoDataset("pseudo_labeled_synth")
     assert len(ds.get_roidb()) == 4
+
+
+def test_sharded_pseudo_labels_match_unsharded(unlabeled_dataset, tmp_path):
+    """Mesh-sharded pseudo-label generation (batch_size divisible by the
+    8-device mesh -> run_inference_on_roidb shards the batch over the
+    'data' axis; the repo's replacement for the reference's per-GPU
+    subprocess sharding, test_engine.py:115-153 + subprocess.py:39) must
+    produce the same annotations as the single-device path. batch_size=2
+    skips the mesh (2 % 8 != 0); batch_size=8 engages it."""
+    import yaml
+
+    from sad_tpu.config import load_cfg
+    from sad_tpu.models import create_model
+    from sad_tpu.models.model_builder import init_model_params
+    from sad_tpu.eval.test_engine import generate_pseudo_labels
+
+    root, img_dir = unlabeled_dataset
+    assert jax.device_count() == 8, "conftest must provide the 8-CPU mesh"
+    cfg_d = {
+        "MODEL": {"TYPE": "retinanet", "NUM_CLASSES": 3,
+                  "CONV_BODY": "FPN.add_fpn_ResNet50_conv5_body"},
+        "FPN": {"FPN_ON": True, "RPN_MIN_LEVEL": 3, "RPN_MAX_LEVEL": 7,
+                "EXTRA_CONV_LEVELS": True, "COARSEST_STRIDE": 128},
+        "RETINANET": {"RETINANET_ON": True, "ASPECT_RATIOS": (1.0,),
+                      "SCALES_PER_OCTAVE": 1},
+        "RESNETS": {"CHANNEL_RATIO": 0.125},
+        "TEST": {"SCALES": (64,), "MAX_SIZE": 128, "SCORE_THRESH": 0.0,
+                 "DATASETS": ("pseudo_unlabeled_synth",)},
+        "COMPUTE_DTYPE": "float32",
+    }
+    cfg_file = tmp_path / "teacher.yaml"
+    cfg_file.write_text(yaml.safe_dump(cfg_d))
+    cfg = load_cfg(str(cfg_file))
+    model = create_model(cfg)
+    params = init_model_params(model, jax.random.PRNGKey(0), (1, 64, 128, 3))
+
+    outs = {}
+    for bs in (2, 8):
+        out_json = str(tmp_path / f"pseudo_bs{bs}.json")
+        generate_pseudo_labels(
+            cfg, model, params, "pseudo_unlabeled_synth", out_json,
+            score_thresh=0.0, batch_size=bs,
+        )
+        outs[bs] = json.loads(open(out_json).read())["annotations"]
+
+    assert len(outs[2]) == len(outs[8]) > 0
+    key = lambda a: (a["image_id"], a["category_id"], tuple(a["bbox"]))
+    for a2, a8 in zip(sorted(outs[2], key=key), sorted(outs[8], key=key)):
+        assert a2["image_id"] == a8["image_id"]
+        assert a2["category_id"] == a8["category_id"]
+        np.testing.assert_allclose(a2["bbox"], a8["bbox"], atol=1e-3)
+        np.testing.assert_allclose(a2["score"], a8["score"], rtol=1e-5)
