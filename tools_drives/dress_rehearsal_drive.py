@@ -175,6 +175,9 @@ def main():
     env = dict(os.environ)
     env["SAD_TPU_DATA_DIR"] = root
     env["PYTHONPATH"] = REPO + ":" + env.get("PYTHONPATH", "")
+    # hang forensics: SIGABRT on a wedged child dumps all Python thread
+    # stacks into the CLI log (two tunnel hangs mid-distill, round 4)
+    env["PYTHONFAULTHANDLER"] = "1"
     if args.smoke:
         env["JAX_PLATFORMS"] = "cpu"
     log = os.path.join(root, "drive.log")
@@ -305,6 +308,11 @@ def main():
         "MODEL": {"TYPE": "distillation"},
         "OUTPUT_DIR": distill_out,
         "RNG_SEED": 7,
+        # snapshots make the PHASE hang-resumable (two tunnel wedges hit
+        # mid-distill in round 4; AUTO_RESUME + bit-identical resume means
+        # a babysitter relaunch continues instead of restarting); snapshot
+        # cadence does not perturb training (see the phase-7 note below)
+        "TRAIN": {"SNAPSHOT_ITERS": max(args.iters // 6, 2)},
         "DISTILLATION": {
             "DISTILLATION_ON": True, "LOSS_ALPHA": 0.5, "LOSS_GAMMA": 2.0,
             "ADAPTIVE_NORMALIZER": True, "LOGITS_POWER": 1.8,
