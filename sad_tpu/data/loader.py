@@ -148,9 +148,22 @@ class TrainingLoader:
             else None
         )
         self._seed = seed
-        self._queues = {"labeled": queue.Queue(queue_capacity)}
+        # UNBOUNDED queues + a claim-side capacity bound (below). Bounded
+        # queues deadlocked on chip (round 4, stack-dump proven): every
+        # worker blocked put()ing to the FULL labeled queue while the
+        # consumer's parity wanted an unlabeled batch no one was building.
+        # With the bound enforced at claim time instead, a worker never
+        # blocks holding a built batch, and the wanted stream is always
+        # either already built (backlog == cap implies its next seq is
+        # among the unconsumed) or claimable (backlog < cap).
+        self._queues = {"labeled": queue.Queue()}
         if self.unlabeled:
-            self._queues["unlabeled"] = queue.Queue(queue_capacity)
+            self._queues["unlabeled"] = queue.Queue()
+        self._capacity = queue_capacity
+        self._inflight = {"labeled": 0}
+        if self.unlabeled:
+            self._inflight["unlabeled"] = 0
+        self._backlog_lock = threading.Lock()
         self._stop = threading.Event()
         self._error: Optional[BaseException] = None
         self._threads = [
@@ -181,21 +194,43 @@ class TrainingLoader:
         for t in self._threads:
             t.start()
         if prefill:
-            for q in self._queues.values():
-                while not q.full() and self._error is None:
-                    import time
+            import time
 
-                    time.sleep(0.05)
+            target = self._capacity * len(self._queues)
+            while self.queue_depth() < target and self._error is None:
+                time.sleep(0.05)
         return self
 
+    def _claim_stream(self) -> Optional[str]:
+        """Next stream to build: smallest backlog (queued + in flight +
+        consumer-held out-of-order) below capacity; None = everything full
+        (mirrors mp_loader._lagging_stream — loader.py:109-115 semantics
+        with the capacity bound moved from put() to the claim, which is
+        what makes the two-stream pipeline deadlock-free)."""
+        with self._backlog_lock:
+            backlog = {
+                n: self._queues[n].qsize() + self._inflight[n]
+                + len(self._pending[n])
+                for n in self._queues
+            }
+            candidates = [
+                n for n, b in backlog.items() if b < self._capacity + 1
+            ]
+            if not candidates:
+                return None
+            name = min(candidates, key=backlog.get)
+            self._inflight[name] += 1
+            return name
+
     def _worker(self):
+        import time
+
         try:
             while not self._stop.is_set():
-                # fill whichever stream is further behind (loader.py:109-115)
-                name = "labeled"
-                if self.unlabeled:
-                    sizes = {k: q.qsize() for k, q in self._queues.items()}
-                    name = min(sizes, key=sizes.get)
+                name = self._claim_stream()
+                if name is None:
+                    time.sleep(0.01)
+                    continue
                 stream = self.labeled if name == "labeled" else self.unlabeled
                 # distinct deterministic seed per built batch (drives the
                 # per-image scale sampling + RPN label subsampling); drawn
@@ -204,12 +239,10 @@ class TrainingLoader:
                 entries = [stream.roidb[i] for i in idxs]
                 built = self.builder.build(entries, seed=bseed)
                 batch = built.as_pytree() if hasattr(built, "as_pytree") else built
-                while not self._stop.is_set():
-                    try:
-                        self._queues[name].put((seq, batch), timeout=0.5)
-                        break
-                    except queue.Full:
-                        continue
+                # unbounded put: never blocks, releases the claim atomically
+                self._queues[name].put((seq, batch))
+                with self._backlog_lock:
+                    self._inflight[name] -= 1
         except BaseException as e:  # noqa: BLE001 — propagate to consumer
             self._error = e
             self._stop.set()

@@ -113,8 +113,14 @@ class MultiprocessTrainingLoader:
         if unlabeled_roidb:
             self._roidbs["unlabeled"] = unlabeled_roidb
 
+        # UNBOUNDED consumer queues: the dispatcher's backlog accounting
+        # (_lagging_stream, qsize + inflight < capacity + 1) is the real
+        # memory bound, so a bounded put buys nothing — and it deadlocked
+        # the single collector on chip (round 4, threaded-loader stack dump
+        # of the same shape): blocked put()ing to the full labeled queue,
+        # unable to move the unlabeled result the consumer was waiting on.
         self._queues: Dict[str, queue.Queue] = {
-            name: queue.Queue(queue_capacity) for name in self._streams
+            name: queue.Queue() for name in self._streams
         }
         # order restoration: batches are surfaced in DRAW order, not
         # completion order, so the batch stream is byte-identical for any
@@ -184,8 +190,11 @@ class MultiprocessTrainingLoader:
         if prefill:
             import time
 
+            # queues are unbounded (full() is never true): prefill to the
+            # dispatcher's capacity bound instead
+            target = self._capacity * len(self._queues)
             while (
-                any(not q.full() for q in self._queues.values())
+                self.queue_depth() < target
                 and self._error is None
                 and not self._stop.is_set()
             ):
@@ -281,16 +290,11 @@ class MultiprocessTrainingLoader:
             self._pending[kind][seq] = payload
             while self._next_seq[kind] in self._pending[kind]:
                 item = self._pending[kind].pop(self._next_seq[kind])
-                enqueued = False
-                while not self._stop.is_set():
-                    try:
-                        self._queues[kind].put(item, timeout=0.5)
-                        enqueued = True
-                        break
-                    except queue.Full:
-                        continue
-                if not enqueued:
-                    return
+                # unbounded put (see __init__): the collector must NEVER
+                # block — a blocked collector can't surface the OTHER
+                # stream's results and deadlocks the parity-alternating
+                # consumer
+                self._queues[kind].put(item)
                 self._next_seq[kind] += 1
                 with self._inflight_lock:
                     self._inflight[kind] -= 1

@@ -387,6 +387,65 @@ class _HardCrashBuilder:
         _os._exit(3)
 
 
+class _JitterBuilder:
+    """Picklable near-instant builder with seed-dependent jitter — maximizes
+    out-of-order completion and queue-boundary races without image IO."""
+
+    def build(self, entries, seed=None):
+        import time as _time
+
+        _time.sleep(((seed or 0) % 7) * 1e-4)
+        return {"seed": seed, "ids": [e["id"] for e in entries]}
+
+
+def test_two_stream_loader_never_deadlocks(synth_dataset):
+    """Regression: the chip dress rehearsal deadlocked (round 4, SIGABRT
+    stack dump) with every worker blocked put()ing to the FULL labeled
+    queue while the consumer's parity wanted an unlabeled batch nobody was
+    building. Hammer the same shape — two streams, minimal capacity, more
+    workers than capacity, fast jittered builds — for 600 parity-alternating
+    gets under a watchdog. Also re-proves the byte-identical stream: seeds
+    must follow the per-stream schedule exactly."""
+    import threading
+
+    cfg = tiny_train_cfg()
+    ds = CocoDataset(synth_dataset)
+    roidb = ds.get_roidb()
+    unlabeled = [dict(e, id=e["id"] + 100) for e in roidb]
+    loader = TrainingLoader(
+        cfg, roidb, None, unlabeled, batch_images=2, num_threads=4,
+        queue_capacity=1, builder=_JitterBuilder(),
+    ).start()
+    got = []
+    done = threading.Event()
+
+    def consume():
+        for _ in range(600):
+            got.append(loader.get_next_batch())
+        done.set()
+
+    t = threading.Thread(target=consume, daemon=True)
+    t.start()
+    t.join(timeout=120.0)
+    try:
+        assert done.is_set(), (
+            f"two-stream loader deadlocked after {len(got)} batches"
+        )
+        # deterministic interleave: even batches labeled (ids < 100), odd
+        # unlabeled; seeds follow each stream's own schedule
+        from sad_tpu.data.loader import _Stream
+
+        lab = _Stream(roidb, 2, 3)
+        unl = _Stream(unlabeled, 2, 4)
+        for k, b in enumerate(got):
+            stream = lab if k % 2 == 0 else unl
+            idxs, bseed, _ = stream.next_batch_indices_seeded()
+            assert b["seed"] == bseed
+            assert b["ids"] == [stream.roidb[i]["id"] for i in idxs]
+    finally:
+        loader.shutdown()
+
+
 class TestMultiprocessLoader:
     """Process-pool minibatch building (data/mp_loader.py) behind the
     TrainingLoader interface."""
