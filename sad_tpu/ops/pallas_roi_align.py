@@ -46,6 +46,7 @@ the four f32 roi-geometry scalars ride a VMEM-blocked input instead
 from __future__ import annotations
 
 import functools
+import os
 from typing import Dict, Tuple
 
 import jax
@@ -67,7 +68,11 @@ MAX_ROIS = 8192
 # branch alive on CPU). Read at TRACE time: flipping it does not affect
 # already-jitted callables (their path is baked in), only functions traced
 # after the flip — tests monkeypatch + define fresh closures per case.
-USE_PALLAS_ROI_ALIGN = None
+# SAD_TPU_ROI_KERNEL=0/1 seeds the global per-process (drive escape hatch
+# for comparing paths without editing call sites).
+USE_PALLAS_ROI_ALIGN = {"0": False, "1": True}.get(
+    os.environ.get("SAD_TPU_ROI_KERNEL", ""), None
+)
 
 
 def use_windowed_kernel(n_rois: int) -> bool:
