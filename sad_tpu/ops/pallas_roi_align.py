@@ -75,10 +75,22 @@ USE_PALLAS_ROI_ALIGN = {"0": False, "1": True}.get(
 )
 
 
-def use_windowed_kernel(n_rois: int) -> bool:
+def use_windowed_kernel(n_rois: int, features=None) -> bool:
+    """Route to the windowed kernel? In auto mode (None) also require every
+    level dim >= 8: the window/DMA logic is built on the TPU's 8-sublane
+    granularity, and Mosaic rejects the degenerate slices a 1x2 P6 level
+    produces (observed: 'infer-vector-layout: unsupported shape cast' at a
+    64px canvas). Tiny canvases only arise in smokes/tests; reference
+    geometries (P6 of 800x1344 = 13x21) stay on the kernel. An explicit
+    force (True) still takes the kernel path — CPU interpret mode never
+    invokes Mosaic."""
     if n_rois > MAX_ROIS:
         return False
     if USE_PALLAS_ROI_ALIGN is None:
+        if features is not None and any(
+            f.shape[1] < 8 or f.shape[2] < 8 for f in features.values()
+        ):
+            return False
         return jax.default_backend() == "tpu"
     return bool(USE_PALLAS_ROI_ALIGN)
 
@@ -589,7 +601,7 @@ def _mlra_bwd_features(
     the same backward it autodiffs for the dense path. A first hand-derived
     dense contraction order materialized an (R, W, res, C) intermediate and
     measured SLOWER than the transpose (17.3 vs 12.9 ms fwd+bwd on chip)."""
-    if use_windowed_kernel(rois.shape[0]):
+    if use_windowed_kernel(rois.shape[0], features):
         return _windowed_backward(
             features, rois, roi_levels, valid, res, sr, g
         )

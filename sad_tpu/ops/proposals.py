@@ -221,7 +221,7 @@ def multilevel_roi_align(
     # zero for rois, so make the dense path match loudly here rather than
     # silently diverge)
     rois = jax.lax.stop_gradient(rois)
-    if pallas_roi_align.use_windowed_kernel(rois.shape[0]):
+    if pallas_roi_align.use_windowed_kernel(rois.shape[0], features):
         return pallas_roi_align.multilevel_roi_align_windowed(
             features, rois, roi_levels, valid, resolution, sampling_ratio
         )

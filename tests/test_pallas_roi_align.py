@@ -155,3 +155,24 @@ def test_windowed_under_jit(setup):
     np.testing.assert_allclose(
         np.asarray(f(feats, rois)), np.asarray(ref), atol=2e-4, rtol=1e-4
     )
+
+
+def test_auto_mode_guards_tiny_levels(monkeypatch):
+    """Auto mode must refuse the kernel when any level dim is below the
+    8-sublane granularity — Mosaic rejects the degenerate window slices
+    (observed on chip: 'infer-vector-layout: unsupported shape cast' with
+    a 1x2 P6 at a 64px canvas). An explicit force still takes the kernel."""
+    monkeypatch.setattr(pallas_roi_align, "USE_PALLAS_ROI_ALIGN", None)
+    tiny = {
+        2: jnp.zeros((1, 16, 32, 8)),
+        5: jnp.zeros((1, 2, 4, 8)),  # < 8 on both dims
+    }
+    ok = {2: jnp.zeros((1, 16, 32, 8)), 5: jnp.zeros((1, 8, 8, 8))}
+    assert not pallas_roi_align.use_windowed_kernel(16, tiny)
+    # sane levels: auto == backend test (False here on CPU)
+    assert pallas_roi_align.use_windowed_kernel(16, ok) == (
+        jax.default_backend() == "tpu"
+    )
+    # explicit force wins regardless of shape (interpret mode on CPU)
+    monkeypatch.setattr(pallas_roi_align, "USE_PALLAS_ROI_ALIGN", True)
+    assert pallas_roi_align.use_windowed_kernel(16, tiny)

@@ -38,6 +38,12 @@ def main():
     ap.add_argument("--images", type=int, default=256)
     ap.add_argument("--iters", type=int, default=800)
     ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--train-both", action="store_true",
+                    help="ALSO train a second model with RPN.EXACT_TOPK="
+                         "False (approx candidate selection feeding NMS + "
+                         "fg/bg sampling DURING training — the riskier "
+                         "half of the knob) and compare final AP of the "
+                         "two checkpoints under exact eval.")
     args = ap.parse_args()
     if args.smoke:
         args.images, args.iters = 8, 4
@@ -117,12 +123,39 @@ def main():
                         "eval_wall_s": round(dt, 1)}
         print(tag, results[tag], flush=True)
 
-    print(json.dumps({
+    out = {
         "exact": results["exact"],
         "approx": results["approx"],
         "ap_delta_approx_minus_exact": round(
             results["approx"]["AP"] - results["exact"]["AP"], 5),
-    }))
+    }
+
+    if args.train_both:
+        # Same data, same RNG_SEED, same schedule — the ONLY difference is
+        # the candidate selection feeding proposal NMS + fg/bg sampling
+        # during training. Both checkpoints evaluated with exact decode.
+        cfg_at = merge_cfg_from_dict(cfg, {
+            "RPN": {"EXACT_TOPK": False},
+            "OUTPUT_DIR": os.path.join(root, "out_approx_train"),
+        })
+        t0 = time.perf_counter()
+        state_at = train_model(cfg_at)
+        print(f"approx-train {args.iters} iters: "
+              f"{time.perf_counter() - t0:.0f}s", flush=True)
+        c = merge_cfg_from_dict(cfg_at, {"RPN": {"EXACT_TOPK": True}})
+        model = create_model(c)
+        r = test_net_on_dataset(
+            c, model, state_at.params,
+            output_dir=os.path.join(root, "test_approx_trained"),
+        )
+        out["approx_trained"] = {
+            "AP": float(r["AP"]), "AP50": float(r["AP50"]),
+            "AP75": float(r.get("AP75", float("nan")))}
+        out["ap_delta_approx_train_minus_exact_train"] = round(
+            out["approx_trained"]["AP"] - results["exact"]["AP"], 5)
+        print("approx_trained", out["approx_trained"], flush=True)
+
+    print(json.dumps(out))
     print("DRIVE OK")
 
 
