@@ -36,11 +36,14 @@ Grid layout: ROIS_PER_PROGRAM rois per program, software-pipelined (roi
 rr+1's first-tile DMA is in flight on the other buffer/semaphore while roi
 rr computes, and a tile's tent weights are computed before its DMA wait).
 Per-roi int scalars (level/batch/window offsets/tile counts) ride ONE
-scalar-prefetch int32 array in SMEM — one, because each prefetch operand
-reserves a 512K SMEM window of the 1M budget — which bounds R to a few
-thousand (all call sites: <=1024 train, <=1000 eval, <=128 aux heads);
-the four f32 roi-geometry scalars ride a VMEM-blocked input instead
-(Mosaic has no scalar bitcast to smuggle them through the int array).
+scalar-prefetch int32 array in SMEM, laid out (META_COLS, R_pad) —
+cols-major, because the SMEM allocation pads the LAST dim to 128 lanes:
+roi-major (R, 8) costs 512 B/roi and blew the 1 MB SMEM budget at bs8's
+4096 train rois (u8[2097152] 'prefetched SMEM operand' compile failure),
+while cols-major costs ~32 B/roi and admits MAX_ROIS=16384 within half
+the budget. The four f32 roi-geometry scalars ride a VMEM-blocked input
+instead (Mosaic has no scalar bitcast to smuggle them through the int
+array).
 """
 
 from __future__ import annotations
@@ -59,8 +62,10 @@ WIN = 32  # window tile edge (cells); per level: min(WIN, level dim)
 ROIS_PER_PROGRAM = 8
 META_COLS = 8  # lvl, b, h0, w0, nty, ntx, pad, pad (int32)
 FMETA_COLS = 4  # y1, x1, binh, binw (f32; Mosaic has no scalar bitcast)
-# per-roi scalars ride SMEM; stay well under the scalar-memory budget
-MAX_ROIS = 8192
+# per-roi scalars ride SMEM at ~32 B/roi (cols-major meta, see module
+# docstring): 16384 rois = 512K, half the 1 MB SMEM budget — covers the
+# box head up to bs32 train / bs16 at 1000 eval rois
+MAX_ROIS = 16384
 
 # None = auto (kernel on TPU, dense matmuls elsewhere — the interpreter
 # pays a Python-level cost per roi that would bog the CPU suite down);
@@ -73,6 +78,38 @@ MAX_ROIS = 8192
 USE_PALLAS_ROI_ALIGN = {"0": False, "1": True}.get(
     os.environ.get("SAD_TPU_ROI_KERNEL", ""), None
 )
+
+# Three-way mode override (SAD_TPU_ROI_MODE=dense|windowed|hybrid). Unset =
+# legacy auto via USE_PALLAS_ROI_ALIGN above. "hybrid" pairs the DENSE
+# matmul forward with the windowed RMW backward: the round-4 stage
+# decomposition (BENCH_NOTES) found the in-step costs split — embedded in
+# the full program XLA overlaps the dense forward's tent matmuls better
+# than the opaque pallas_call (+7.2 vs +9.5 ms), while the windowed
+# backward beats the dense transpose (+31.6 vs +33.9) — so the fastest
+# step takes one from each. Same trace-time caveat as the global above.
+ROI_ALIGN_MODE = os.environ.get("SAD_TPU_ROI_MODE", "") or None
+_VALID_MODES = ("dense", "windowed", "hybrid")
+
+
+def roi_align_mode(n_rois: int, features=None) -> str:
+    """Resolve the multilevel-RoIAlign dispatch mode for this call site.
+
+    Explicit ROI_ALIGN_MODE wins (still subject to the MAX_ROIS scalar-
+    prefetch cap — past it every kernel path degrades to dense); otherwise
+    legacy auto: windowed on TPU / dense elsewhere via use_windowed_kernel.
+    """
+    if ROI_ALIGN_MODE is not None:
+        if ROI_ALIGN_MODE not in _VALID_MODES:
+            raise ValueError(
+                f"SAD_TPU_ROI_MODE={ROI_ALIGN_MODE!r}: want one of "
+                f"{_VALID_MODES}"
+            )
+        if n_rois > MAX_ROIS:
+            return "dense"
+        return ROI_ALIGN_MODE
+    return (
+        "windowed" if use_windowed_kernel(n_rois, features) else "dense"
+    )
 
 
 def use_windowed_kernel(n_rois: int, features=None) -> bool:
@@ -140,7 +177,7 @@ def _axis_weights_window(
 
 
 def _mlra_kernel(
-    meta_ref,  # (R_pad, META_COLS) int32, scalar-prefetched (SMEM)
+    meta_ref,  # (META_COLS, R_pad) int32, scalar-prefetched (SMEM)
     *refs,
     level_dims: Tuple[Tuple[int, int], ...],  # (H_l, W_l) per level
     res: int,
@@ -160,9 +197,9 @@ def _mlra_kernel(
         """Copy descriptors for roi r_idx's FIRST tile, one per level (the
         issue and the wait both reconstruct the identical descriptor — the
         guide's double-buffer pattern)."""
-        b_n = meta_ref[r_idx, 1]
-        h0_n = meta_ref[r_idx, 2]
-        w0_n = meta_ref[r_idx, 3]
+        b_n = meta_ref[1, r_idx]
+        h0_n = meta_ref[2, r_idx]
+        w0_n = meta_ref[3, r_idx]
         copies = []
         for li, (h_l, w_l) in enumerate(level_dims):
             winy = min(WIN, h_l)
@@ -182,7 +219,7 @@ def _mlra_kernel(
 
     def issue_first(r_idx, slot):
         copies = first_tile_copies(r_idx, slot)
-        lvl_n = meta_ref[r_idx, 0]
+        lvl_n = meta_ref[0, r_idx]
         for li in range(len(level_dims)):
             @pl.when(lvl_n == li)
             def _(li=li):
@@ -196,12 +233,12 @@ def _mlra_kernel(
     for rr in range(rpp):
         r = pid * rpp + rr
         slot = rr % 2
-        lvl = meta_ref[r, 0]
-        b = meta_ref[r, 1]
-        h0 = meta_ref[r, 2]
-        w0 = meta_ref[r, 3]
-        n_tiles = meta_ref[r, 4] * meta_ref[r, 5]
-        ntx = meta_ref[r, 5]
+        lvl = meta_ref[0, r]
+        b = meta_ref[1, r]
+        h0 = meta_ref[2, r]
+        w0 = meta_ref[3, r]
+        n_tiles = meta_ref[4, r] * meta_ref[5, r]
+        ntx = meta_ref[5, r]
         y1 = fmeta_ref[rr, 0]
         x1 = fmeta_ref[rr, 1]
         binh = fmeta_ref[rr, 2]
@@ -336,12 +373,17 @@ def _build_meta(
     h0, n_ty = extent(y1, binh, n_h, winy)
     w0, n_tx = extent(x1, binw, n_w, winx)
 
+    # (META_COLS, r_pad) — cols-major. The SMEM allocation pads the LAST
+    # dim to 128 lanes, so the roi axis must be last: (r_pad, 8) int32
+    # costs 512 B/roi (observed on chip: u8[2097152] 'prefetched SMEM
+    # operand' > the 1 MB SMEM budget at bs8's 4096 train rois), while
+    # (8, r_pad) costs ~32 B/roi and fits every call site up to MAX_ROIS.
     meta = jnp.stack(
         [lvl0, bi, h0, w0, n_ty, n_tx,
          jnp.zeros_like(lvl0), jnp.zeros_like(lvl0)],
-        axis=1,
+        axis=0,
     ).astype(jnp.int32)
-    meta = jnp.pad(meta, ((0, r_pad - r), (0, 0)))
+    meta = jnp.pad(meta, ((0, 0), (0, r_pad - r)))
     fmeta = jnp.stack([y1, x1, binh, binw], axis=1).astype(f32)
     fmeta = jnp.pad(fmeta, ((0, r_pad - r), (0, 0)))
     return meta, fmeta, lvls, dims, r_pad
@@ -406,7 +448,7 @@ def _windowed_forward(
 
 
 def _mlra_bwd_kernel(
-    meta_ref,  # (R_pad, META_COLS) int32, scalar-prefetched (SMEM)
+    meta_ref,  # (META_COLS, R_pad) int32, scalar-prefetched (SMEM)
     fmeta_ref,  # (rpp, FMETA_COLS) f32 block
     g_ref,  # (rpp, res, res, C) cotangent block
     *refs,
@@ -434,12 +476,12 @@ def _mlra_bwd_kernel(
 
     for rr in range(rpp):
         r = pid * rpp + rr
-        lvl = meta_ref[r, 0]
-        b = meta_ref[r, 1]
-        h0 = meta_ref[r, 2]
-        w0 = meta_ref[r, 3]
-        n_tiles = meta_ref[r, 4] * meta_ref[r, 5]
-        ntx = meta_ref[r, 5]
+        lvl = meta_ref[0, r]
+        b = meta_ref[1, r]
+        h0 = meta_ref[2, r]
+        w0 = meta_ref[3, r]
+        n_tiles = meta_ref[4, r] * meta_ref[5, r]
+        ntx = meta_ref[5, r]
         y1 = fmeta_ref[rr, 0]
         x1 = fmeta_ref[rr, 1]
         binh = fmeta_ref[rr, 2]
@@ -654,3 +696,34 @@ def _bwd(resolution, sampling_ratio, residuals, g):
 
 
 multilevel_roi_align_windowed.defvjp(_fwd, _bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def multilevel_roi_align_hybrid(
+    features: Dict[int, jnp.ndarray],
+    rois: jnp.ndarray,
+    roi_levels: jnp.ndarray,
+    valid: jnp.ndarray,
+    resolution: int,
+    sampling_ratio: int = 2,
+) -> jnp.ndarray:
+    """Dense-forward / windowed-backward pairing (see ROI_ALIGN_MODE note):
+    forward is the all-levels tent-matmul form XLA overlaps well in the
+    full step; backward is the windowed RMW kernel (via _mlra_bwd_features,
+    which keeps the off-TPU / tiny-level / MAX_ROIS fallbacks)."""
+    from .proposals import dense_multilevel_roi_align
+
+    return dense_multilevel_roi_align(
+        features, rois, roi_levels, valid, resolution, sampling_ratio
+    )
+
+
+def _hybrid_fwd(features, rois, roi_levels, valid, resolution,
+                sampling_ratio):
+    out = multilevel_roi_align_hybrid(
+        features, rois, roi_levels, valid, resolution, sampling_ratio
+    )
+    return out, (features, rois, roi_levels, valid)
+
+
+multilevel_roi_align_hybrid.defvjp(_hybrid_fwd, _bwd)

@@ -221,8 +221,13 @@ def multilevel_roi_align(
     # zero for rois, so make the dense path match loudly here rather than
     # silently diverge)
     rois = jax.lax.stop_gradient(rois)
-    if pallas_roi_align.use_windowed_kernel(rois.shape[0], features):
+    mode = pallas_roi_align.roi_align_mode(rois.shape[0], features)
+    if mode == "windowed":
         return pallas_roi_align.multilevel_roi_align_windowed(
+            features, rois, roi_levels, valid, resolution, sampling_ratio
+        )
+    if mode == "hybrid":
+        return pallas_roi_align.multilevel_roi_align_hybrid(
             features, rois, roi_levels, valid, resolution, sampling_ratio
         )
     return dense_multilevel_roi_align(

@@ -157,6 +157,59 @@ def test_windowed_under_jit(setup):
     )
 
 
+def test_hybrid_forward_is_dense(setup, monkeypatch):
+    """Hybrid mode's primal == the dense form exactly (it IS the dense
+    form), and the public dispatcher routes to it."""
+    feats, rois, levels, valid = setup
+    ref = multilevel_roi_align(feats, rois, levels, valid, 7, 2)
+    monkeypatch.setattr(pallas_roi_align, "ROI_ALIGN_MODE", "hybrid")
+    got = multilevel_roi_align(feats, rois, levels, valid, 7, 2)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_hybrid_backward_windowed_kernel(setup, monkeypatch):
+    """Hybrid with the RMW backward kernel forced (interpret mode) matches
+    the dense autodiff gradient — the pairing the mode exists for."""
+    feats, rois, levels, valid = setup
+
+    def loss(fn):
+        def f(fd):
+            o = fn(fd, rois, levels, valid, 7, 2)
+            return jnp.sum(jnp.sin(o) * o)
+
+        return f
+
+    gref = jax.grad(loss(multilevel_roi_align))(feats)
+    monkeypatch.setattr(pallas_roi_align, "USE_PALLAS_ROI_ALIGN", True)
+    gh = jax.grad(
+        loss(pallas_roi_align.multilevel_roi_align_hybrid)
+    )(feats)
+    for l in sorted(feats):
+        np.testing.assert_allclose(
+            np.asarray(gh[l]), np.asarray(gref[l]), atol=5e-4, rtol=1e-4
+        )
+
+
+def test_roi_align_mode_resolution(monkeypatch):
+    """Mode resolution: explicit mode wins, MAX_ROIS degrades to dense,
+    bad strings fail loudly, unset falls back to legacy auto."""
+    ok = {2: jnp.zeros((1, 16, 32, 8))}
+    monkeypatch.setattr(pallas_roi_align, "ROI_ALIGN_MODE", "hybrid")
+    assert pallas_roi_align.roi_align_mode(16, ok) == "hybrid"
+    assert (
+        pallas_roi_align.roi_align_mode(pallas_roi_align.MAX_ROIS + 1, ok)
+        == "dense"
+    )
+    monkeypatch.setattr(pallas_roi_align, "ROI_ALIGN_MODE", "bogus")
+    with pytest.raises(ValueError):
+        pallas_roi_align.roi_align_mode(16, ok)
+    monkeypatch.setattr(pallas_roi_align, "ROI_ALIGN_MODE", None)
+    monkeypatch.setattr(pallas_roi_align, "USE_PALLAS_ROI_ALIGN", True)
+    assert pallas_roi_align.roi_align_mode(16, ok) == "windowed"
+    monkeypatch.setattr(pallas_roi_align, "USE_PALLAS_ROI_ALIGN", False)
+    assert pallas_roi_align.roi_align_mode(16, ok) == "dense"
+
+
 def test_auto_mode_guards_tiny_levels(monkeypatch):
     """Auto mode must refuse the kernel when any level dim is below the
     8-sublane granularity — Mosaic rejects the degenerate window slices
