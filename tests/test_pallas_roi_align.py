@@ -210,6 +210,21 @@ def test_roi_align_mode_resolution(monkeypatch):
     assert pallas_roi_align.roi_align_mode(16, ok) == "dense"
 
 
+def test_meta_layout_cols_major(setup):
+    """meta must stay (META_COLS, r_pad) — roi-major (R, 8) gets its last
+    dim lane-padded to 128 in the SMEM allocation (512 B/roi), which blew
+    the 1 MB scalar-memory budget at bs8's 4096 train rois on chip."""
+    feats, rois, levels, _ = setup
+    meta, fmeta, _, _, r_pad = pallas_roi_align._build_meta(
+        feats, rois, levels, 7, 2
+    )
+    assert meta.shape == (pallas_roi_align.META_COLS, r_pad)
+    assert fmeta.shape == (r_pad, pallas_roi_align.FMETA_COLS)
+    # worst-case SMEM footprint at the roi cap: half the 1 MB budget
+    assert pallas_roi_align.MAX_ROIS * pallas_roi_align.META_COLS * 4 \
+        <= 512 * 1024
+
+
 def test_auto_mode_guards_tiny_levels(monkeypatch):
     """Auto mode must refuse the kernel when any level dim is below the
     8-sublane granularity — Mosaic rejects the degenerate window slices
