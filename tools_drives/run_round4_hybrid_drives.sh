@@ -51,6 +51,9 @@ run() {
 fail=0
 MASK_YAML=/root/reference/detectron/configs/12_2017_baselines/e2e_mask_rcnn_R-50-FPN_1x.yaml
 KPS_YAML=/root/reference/detectron/configs/12_2017_baselines/e2e_keypoint_rcnn_R-50-FPN_1x.yaml
+
+run exact_topk_impl python tools_drives/exact_topk_impl_drive.py
+
 export SAD_TPU_ROI_MODE=hybrid
 
 run stage_hyb python tools_drives/rcnn_stage_drive.py "$MASK_YAML"
