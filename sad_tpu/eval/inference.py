@@ -30,6 +30,7 @@ import numpy as np
 from sad_tpu.config import Config
 from sad_tpu.data.anchors import retinanet_cell_anchors
 from sad_tpu.models import RetinaNet
+from sad_tpu.ops import topk
 from sad_tpu.ops.box_transforms import bbox_transform
 from sad_tpu.ops.nms import NEG_INF
 
@@ -51,16 +52,14 @@ def _level_candidates(
     flat = probs.reshape(-1)
     k = min(top_n, flat.shape[0])
     masked = jnp.where(flat > threshold, flat, NEG_INF)
-    if k < flat.shape[0] and not exact_topk:
-        # TPU PartialReduce top-k (TEST.EXACT_TOPK=False): ~an order of
-        # magnitude faster than the sort-based exact top_k over the
-        # multi-million-score P3 grid, at 0.99 recall of the top-1000.
-        # Measured AP delta vs exact: topk_parity_drive / BENCH_NOTES.md.
-        # On non-TPU backends this lowers to an exact fallback, so the CPU
-        # suite exercises the same code path (tests/test_parity_e2e.py).
-        scores, inds = jax.lax.approx_max_k(masked, k, recall_target=0.99)
-    else:
-        scores, inds = jax.lax.top_k(masked, k)
+    # TEST.EXACT_TOPK=False routes to 0.99-recall PartialReduce (~an order
+    # of magnitude faster over the multi-million-score P3 grid; measured AP
+    # delta -1.7e-8, topk_parity_drive / BENCH_NOTES.md). The exact default
+    # is ALSO PartialReduce on TPU, at recall 1.0 (exact multiset, 1.53x
+    # the sort; ops/topk.py + BENCH_NOTES round-4). Non-TPU backends lower
+    # approx_max_k to an exact fallback, so the CPU suite exercises the
+    # same code path (tests/test_parity_e2e.py).
+    scores, inds = topk.top_k(masked, k, exact=exact_topk)
     valid = scores > NEG_INF
 
     cls = inds % c

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import topk
 from .box_transforms import bbox_transform, clip_boxes
 from .nms import NEG_INF, nms_fixed
 
@@ -40,20 +41,15 @@ def proposal_candidates(
 
     exact_topk=False (cfg.RPN.EXACT_TOPK, the proposal analogue of
     TEST.EXACT_TOPK) lets TPU select the pre-NMS candidate pool with
-    jax.lax.approx_max_k (PartialReduce, recall_target 0.99) instead of the
-    sort-based exact top_k — the pool then holds ≥99% of the true top-N; any
-    swapped-in candidate is itself near the score cut. Non-TPU backends
-    lower approx_max_k to an exact fallback, so the CPU suite exercises the
-    same code path. Measured AP delta + step time: BENCH_NOTES.md
-    (rpn_topk_parity_drive)."""
+    0.99-recall PartialReduce instead of the exact top-k — the pool then
+    holds ≥99% of the true top-N; any swapped-in candidate is itself near
+    the score cut. Measured AP delta + step time: BENCH_NOTES.md
+    (rpn_topk_parity_drive). Both routes go through ops.topk.top_k, whose
+    exact path is itself PartialReduce at recall 1.0 on TPU (1.53x the
+    sort; BENCH_NOTES round-4)."""
     flat_scores = scores.reshape(-1)
     k = min(pre_nms_top_n, flat_scores.shape[0])
-    if k < flat_scores.shape[0] and not exact_topk:
-        top_scores, inds = jax.lax.approx_max_k(
-            flat_scores, k, recall_target=0.99
-        )
-    else:
-        top_scores, inds = jax.lax.top_k(flat_scores, k)
+    top_scores, inds = topk.top_k(flat_scores, k, exact=exact_topk)
     top_anchors = anchors.reshape(-1, 4)[inds]
     top_deltas = deltas.reshape(-1, 4)[inds]
 

@@ -1,0 +1,7 @@
+#!/bin/bash
+# Wait for pid $1 (the tail-queue process) to exit, then run the topk flip drives.
+set -u
+PREV_PID="${1:?usage: chain_topk_after_pid.sh <prev-pid>}"
+while kill -0 "$PREV_PID" 2>/dev/null; do sleep 60; done
+exec bash /root/repo/tools_drives/run_round4_topk_flip_drives.sh \
+  > /root/repo/tools_drives/logs/round4_topk_flip.log 2>&1
