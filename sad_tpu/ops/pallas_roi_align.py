@@ -95,8 +95,9 @@ def roi_align_mode(n_rois: int, features=None) -> str:
     """Resolve the multilevel-RoIAlign dispatch mode for this call site.
 
     Explicit ROI_ALIGN_MODE wins (still subject to the MAX_ROIS scalar-
-    prefetch cap — past it every kernel path degrades to dense); otherwise
-    legacy auto: windowed on TPU / dense elsewhere via use_windowed_kernel.
+    prefetch cap and the lane-alignment guard below — past either every
+    kernel path degrades to dense); otherwise legacy auto: windowed on TPU
+    / dense elsewhere via use_windowed_kernel.
     """
     if ROI_ALIGN_MODE is not None:
         if ROI_ALIGN_MODE not in _VALID_MODES:
@@ -106,27 +107,53 @@ def roi_align_mode(n_rois: int, features=None) -> str:
             )
         if n_rois > MAX_ROIS:
             return "dense"
+        if ROI_ALIGN_MODE != "dense" and not _kernel_compatible(features):
+            return "dense"
         return ROI_ALIGN_MODE
-    return (
-        "windowed" if use_windowed_kernel(n_rois, features) else "dense"
+    if USE_PALLAS_ROI_ALIGN is not None:
+        # legacy force knob keeps its original meaning: windowed vs dense
+        return (
+            "windowed" if use_windowed_kernel(n_rois, features) else "dense"
+        )
+    # TPU auto default: HYBRID (dense fwd + windowed RMW bwd) — fastest
+    # measured pairing at mask-1x geometry (full step 59.6 ms vs windowed
+    # 62.6 / dense 61.9; family matrix in BENCH_NOTES round-4)
+    return "hybrid" if use_windowed_kernel(n_rois, features) else "dense"
+
+
+def _kernel_compatible(features) -> bool:
+    """Shape preconditions for the windowed Mosaic kernel; violations
+    degrade to the dense path (identical semantics, just slower).
+
+    - every level >= 8x8: the window/DMA logic is built on the TPU's
+      8-sublane granularity, and Mosaic rejects the degenerate slices a
+      1x2 P6 level produces (observed: 'infer-vector-layout: unsupported
+      shape cast' at a 64px canvas). Tiny canvases only arise in
+      smokes/tests; reference geometries (P6 of 800x1344 = 13x21) pass.
+    - channels % 128 == 0: both kernels collapse (rows, dx, C) ->
+      (rows, dx*C), which Mosaic can only relayout when C is a whole
+      number of 128-wide lane registers (observed: 'unsupported shape
+      cast' on vector<32x40x64> -> vector<32x2560> with the
+      CHANNEL_RATIO=0.25 student's 64-channel FPN). Standard FPN C=256
+      passes.
+    Unknown features (None) are presumed compatible — callers that can
+    pass the dict should."""
+    if features is None:
+        return True
+    return not any(
+        f.shape[1] < 8 or f.shape[2] < 8 or f.shape[-1] % 128 != 0
+        for f in features.values()
     )
 
 
 def use_windowed_kernel(n_rois: int, features=None) -> bool:
-    """Route to the windowed kernel? In auto mode (None) also require every
-    level dim >= 8: the window/DMA logic is built on the TPU's 8-sublane
-    granularity, and Mosaic rejects the degenerate slices a 1x2 P6 level
-    produces (observed: 'infer-vector-layout: unsupported shape cast' at a
-    64px canvas). Tiny canvases only arise in smokes/tests; reference
-    geometries (P6 of 800x1344 = 13x21) stay on the kernel. An explicit
-    force (True) still takes the kernel path — CPU interpret mode never
-    invokes Mosaic."""
+    """Route to the windowed kernel? In auto mode (None) also require the
+    _kernel_compatible shape preconditions. An explicit force (True) still
+    takes the kernel path — CPU interpret mode never invokes Mosaic."""
     if n_rois > MAX_ROIS:
         return False
     if USE_PALLAS_ROI_ALIGN is None:
-        if features is not None and any(
-            f.shape[1] < 8 or f.shape[2] < 8 for f in features.values()
-        ):
+        if not _kernel_compatible(features):
             return False
         return jax.default_backend() == "tpu"
     return bool(USE_PALLAS_ROI_ALIGN)

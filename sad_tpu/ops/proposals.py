@@ -204,11 +204,13 @@ def multilevel_roi_align(
     stay in their original order, so the reference's restore-permutation is
     unnecessary. Returns (R, res, res, C).
 
-    On TPU this dispatches to the windowed Pallas kernel
-    (ops/pallas_roi_align.py): identical semantics, but each roi reads only
-    the small window of its ONE assigned level instead of running dense
-    matmuls against every level (~100x fewer FLOPs; measured in
-    BENCH_NOTES.md)."""
+    On TPU this dispatches to the HYBRID pairing by default
+    (ops/pallas_roi_align.py): the dense tent-matmul forward (which XLA
+    overlaps best inside the full step) with the windowed RMW Pallas
+    backward (each roi scatters into only the small window of its ONE
+    assigned level). Fastest measured combination at mask-1x geometry;
+    SAD_TPU_ROI_MODE=dense|windowed|hybrid overrides (BENCH_NOTES.md
+    round-4)."""
     from . import pallas_roi_align
 
     # Contract: NO gradient flows through roi coordinates on either path

@@ -45,10 +45,10 @@ import jax.numpy as jnp
 # like USE_PALLAS_ROI_ALIGN it is not part of any jit cache key, so flip
 # it before tracing (tests monkeypatch it), not between calls to an
 # already-jitted function.
-# Default "sort" until the round-4 hybrid chip queue (which must compare
-# against sort-based round-4 family numbers) completes; flip to "auto"
-# with its own before/after step measurement recorded in BENCH_NOTES.
-EXACT_TOPK_IMPL = os.environ.get("SAD_TPU_EXACT_TOPK_IMPL", "sort")
+# Default "auto" since the round-4 flip measurement (BENCH_NOTES:
+# exact-decode inference 69.1 -> 70.9 imgs/s, Faster R-CNN step
+# 33.48 -> 33.67 imgs/s — never worse, exact multiset verified on chip).
+EXACT_TOPK_IMPL = os.environ.get("SAD_TPU_EXACT_TOPK_IMPL", "auto")
 _VALID_IMPLS = ("auto", "sort", "partial_reduce")
 
 

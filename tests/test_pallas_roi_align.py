@@ -193,7 +193,7 @@ def test_hybrid_backward_windowed_kernel(setup, monkeypatch):
 def test_roi_align_mode_resolution(monkeypatch):
     """Mode resolution: explicit mode wins, MAX_ROIS degrades to dense,
     bad strings fail loudly, unset falls back to legacy auto."""
-    ok = {2: jnp.zeros((1, 16, 32, 8))}
+    ok = {2: jnp.zeros((1, 16, 32, 128))}
     monkeypatch.setattr(pallas_roi_align, "ROI_ALIGN_MODE", "hybrid")
     assert pallas_roi_align.roi_align_mode(16, ok) == "hybrid"
     assert (
@@ -208,6 +208,43 @@ def test_roi_align_mode_resolution(monkeypatch):
     assert pallas_roi_align.roi_align_mode(16, ok) == "windowed"
     monkeypatch.setattr(pallas_roi_align, "USE_PALLAS_ROI_ALIGN", False)
     assert pallas_roi_align.roi_align_mode(16, ok) == "dense"
+
+
+def test_mode_guards_unaligned_channels(monkeypatch):
+    """Channels not a multiple of 128 lanes must degrade EVERY kernel mode
+    to dense: both kernels collapse (rows, dx, C) -> (rows, dx*C), which
+    Mosaic only supports for whole lane registers (observed on chip:
+    'infer-vector-layout: unsupported shape cast' on vector<32x40x64> ->
+    vector<32x2560> — the CHANNEL_RATIO=0.25 student's 64-channel FPN in
+    the rpn_topk --train-both drive)."""
+    c64 = {
+        2: jnp.zeros((1, 64, 64, 64)),
+        3: jnp.zeros((1, 32, 32, 64)),
+    }
+    # auto mode refuses the kernel
+    monkeypatch.setattr(pallas_roi_align, "USE_PALLAS_ROI_ALIGN", None)
+    assert not pallas_roi_align.use_windowed_kernel(16, c64)
+    # explicit windowed/hybrid degrade at the mode resolver too
+    for mode in ("windowed", "hybrid"):
+        monkeypatch.setattr(pallas_roi_align, "ROI_ALIGN_MODE", mode)
+        assert pallas_roi_align.roi_align_mode(16, c64) == "dense"
+    # aligned channels keep the explicit mode
+    ok = {2: jnp.zeros((1, 64, 64, 256))}
+    monkeypatch.setattr(pallas_roi_align, "ROI_ALIGN_MODE", "windowed")
+    assert pallas_roi_align.roi_align_mode(16, ok) == "windowed"
+
+
+def test_auto_mode_default_is_hybrid(monkeypatch):
+    """Unset knobs on a TPU backend must resolve to HYBRID (the fastest
+    measured pairing, BENCH_NOTES round-4); the legacy USE_PALLAS_ROI_ALIGN
+    force knob keeps meaning windowed."""
+    ok = {2: jnp.zeros((1, 64, 64, 256))}
+    monkeypatch.setattr(pallas_roi_align, "ROI_ALIGN_MODE", None)
+    monkeypatch.setattr(pallas_roi_align, "USE_PALLAS_ROI_ALIGN", None)
+    expected = "hybrid" if jax.default_backend() == "tpu" else "dense"
+    assert pallas_roi_align.roi_align_mode(16, ok) == expected
+    monkeypatch.setattr(pallas_roi_align, "USE_PALLAS_ROI_ALIGN", True)
+    assert pallas_roi_align.roi_align_mode(16, ok) == "windowed"
 
 
 def test_meta_layout_cols_major(setup):
