@@ -276,11 +276,13 @@ class RPNConfig:
     # pre-NMS candidate top-N per (level, image). When False, TPU uses
     # jax.lax.approx_max_k at recall_target 0.99 over the dense RPN score
     # grids (P2 alone is ~200k scores at 800x1344); non-TPU backends fall
-    # back to exact. Applies to BOTH train and test proposal paths, but the
-    # chip measurement (BENCH_NOTES.md, rpn_topk_parity_drive) covers the
-    # EVAL-time effect only (−2.3e-4 AP on an exact-trained checkpoint);
-    # the effect of approx candidate selection on fg/bg sampling DURING
-    # training is unmeasured — keep default True for training parity.
+    # back to exact. Applies to BOTH train and test proposal paths. Chip
+    # measurements (BENCH_NOTES.md, rpn_topk_parity_drive): EVAL-time
+    # −2.3e-4 AP on an exact-trained checkpoint; TRAIN-time (--train-both,
+    # round 4) an approx-trained model matched the exact-trained one
+    # bit-identically at 256-img/800-iter scale — though at that scale the
+    # approx selection coincided with exact throughout, so the train-time
+    # evidence bounds mild truncation pressure only. Default True.
     EXACT_TOPK: bool = True
 
 

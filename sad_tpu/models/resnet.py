@@ -8,7 +8,10 @@ Capability-equivalent to detectron/lib/modeling/ResNet.py, redesigned for TPU:
   caffe2/modules/detectron/affine_channel_op.cc:70-80).
 - FREEZE_AT stages are wrapped in stop_gradient (ref: ResNet.py:103-122
   StopGradient), which also lets XLA skip their backward entirely.
-- ResNeXt = grouped 3x3 via feature_group_count; CHANNEL_RATIO width
+- ResNeXt = grouped 3x3 routed through ops/grouped_conv.py, whose
+  SAD_TPU_GROUPED_CONV_IMPL trace-time knob swaps the MXU phrasing
+  (feature_group_count / group-to-batch / lane-packed block-diagonal)
+  underneath an unchanged parameter tree; CHANNEL_RATIO width
   multiplier for half-width students (ResNet.py:99-118).
 
 Module names mirror the reference blob names (conv1, res_conv1_bn,
@@ -23,6 +26,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops import grouped_conv as _gc
 from .arch import ModelArch
 
 
@@ -56,6 +60,39 @@ def _conv(name: str, features: int, kernel: int, stride: int = 1,
         bias_init=bias_init or nn.initializers.zeros,
         name=name,
     )
+
+
+class GroupedConv(nn.Module):
+    """Grouped conv with the same param tree as nn.Conv(feature_group_count)
+    — name 'kernel', shape (k, k, cin/groups, features) — but whose compute
+    phrasing is selected at trace time by ops/grouped_conv.py (the MXU
+    study knob, BENCH_NOTES round-4 grouped-conv section). Checkpoints and
+    the weight converter see no difference."""
+
+    features: int
+    kernel: int
+    groups: int
+    stride: int = 1
+    dilation: int = 1
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        if x.shape[-1] % self.groups or self.features % self.groups:
+            raise ValueError(
+                f"{self.name}: channels in/out ({x.shape[-1]}/{self.features})"
+                f" must divide groups={self.groups} (check NUM_GROUPS x "
+                f"WIDTH_PER_GROUP x CHANNEL_RATIO)"
+            )
+        k = self.param(
+            "kernel", nn.initializers.he_normal(),
+            (self.kernel, self.kernel, x.shape[-1] // self.groups,
+             self.features), jnp.float32,
+        )
+        return _gc.grouped_conv(
+            x.astype(self.dtype), k, self.groups,
+            stride=self.stride, dilation=self.dilation,
+        )
 
 
 class Conv1S2D(nn.Module):
@@ -127,10 +164,17 @@ class Bottleneck(nn.Module):
         cur = AffineChannel(self.dim_inner, name=p + "_branch2a_bn")(cur)
         cur = nn.relu(cur)
 
-        cur = _conv(
-            p + "_branch2b", self.dim_inner, 3, s3,
-            dilation=self.dilation, groups=self.groups, dtype=self.dtype,
-        )(cur)
+        if self.groups > 1:
+            cur = GroupedConv(
+                self.dim_inner, 3, self.groups, stride=s3,
+                dilation=self.dilation, dtype=self.dtype,
+                name=p + "_branch2b",
+            )(cur)
+        else:
+            cur = _conv(
+                p + "_branch2b", self.dim_inner, 3, s3,
+                dilation=self.dilation, dtype=self.dtype,
+            )(cur)
         cur = AffineChannel(self.dim_inner, name=p + "_branch2b_bn")(cur)
         cur = nn.relu(cur)
 
