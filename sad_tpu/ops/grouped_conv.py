@@ -153,7 +153,13 @@ def resolve_pack(impl: str, groups: int, cg_in: int):
     if impl == "dense":
         return groups
     if impl == "lane":
-        return max(1, min(groups, 128 // max(cg_in, 1)))
+        # Largest DIVISOR of groups that fits one 128-wide lane tile —
+        # a non-divisor pack (e.g. groups=6, cg=24 -> 128//24 = 5) would
+        # make pack_block_diagonal raise at trace time.
+        cap = max(1, min(groups, 128 // max(cg_in, 1)))
+        while groups % cap:
+            cap -= 1
+        return cap
     pack = int(impl)
     if pack <= 0 or groups % pack:
         raise ValueError(f"pack {pack} incompatible with groups {groups}")

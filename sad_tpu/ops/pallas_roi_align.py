@@ -50,6 +50,7 @@ from __future__ import annotations
 
 import functools
 import os
+import warnings
 from typing import Dict, Tuple
 
 import jax
@@ -108,6 +109,13 @@ def roi_align_mode(n_rois: int, features=None) -> str:
         if n_rois > MAX_ROIS:
             return "dense"
         if ROI_ALIGN_MODE != "dense" and not _kernel_compatible(features):
+            warnings.warn(
+                f"SAD_TPU_ROI_MODE={ROI_ALIGN_MODE!r} requested but the "
+                "feature shapes fail the kernel preconditions "
+                f"(levels>=8x8 everywhere; C%128==0 on TPU) — degrading "
+                "to dense",
+                stacklevel=2,
+            )
             return "dense"
         return ROI_ALIGN_MODE
     if USE_PALLAS_ROI_ALIGN is not None:
@@ -135,13 +143,17 @@ def _kernel_compatible(features) -> bool:
       number of 128-wide lane registers (observed: 'unsupported shape
       cast' on vector<32x40x64> -> vector<32x2560> with the
       CHANNEL_RATIO=0.25 student's 64-channel FPN). Standard FPN C=256
-      passes.
+      passes. Mosaic-only, so enforced ONLY on the TPU backend: CPU
+      interpret mode never lowers through Mosaic and unaligned channels
+      work there — keeping it debuggable off-chip (advisor r4).
     Unknown features (None) are presumed compatible — callers that can
     pass the dict should."""
     if features is None:
         return True
+    lane_guard = jax.default_backend() == "tpu"
     return not any(
-        f.shape[1] < 8 or f.shape[2] < 8 or f.shape[-1] % 128 != 0
+        f.shape[1] < 8 or f.shape[2] < 8
+        or (lane_guard and f.shape[-1] % 128 != 0)
         for f in features.values()
     )
 

@@ -12,5 +12,6 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 8)
+if os.environ.get("SAD_TPU_TEST_ON_CHIP", "0") != "1":
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)

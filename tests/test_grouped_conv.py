@@ -136,13 +136,18 @@ def test_resnext_body_param_tree_and_phrasing_equivalence():
     params = body.init(jax.random.PRNGKey(0), x)
     b0 = params["params"]["Bottleneck_0"]
     assert b0["res2_0_branch2b"]["kernel"].shape == (3, 3, 4, 32)
-    y_ref = body.apply(params, x)
+    orig_impl = gc.GROUPED_CONV_IMPL
+    try:
+        gc.GROUPED_CONV_IMPL = "fgc"
+        y_ref = body.apply(params, x)
+    finally:
+        gc.GROUPED_CONV_IMPL = orig_impl
     for impl in ("lane", "1"):
         try:
             gc.GROUPED_CONV_IMPL = impl
             y = body.apply(params, x)
         finally:
-            gc.GROUPED_CONV_IMPL = "fgc"
+            gc.GROUPED_CONV_IMPL = orig_impl
         for name in y_ref:
             np.testing.assert_allclose(
                 y[name], y_ref[name], rtol=2e-4, atol=2e-4)

@@ -148,11 +148,12 @@ def main():
         jax.profiler.stop_trace()
     assert np.isfinite(float(metrics["loss"]))
 
-    print(json.dumps({
-        "metric": (
-            "keypoint" if cfg.MODEL.KEYPOINTS_ON
-            else "mask" if cfg.MODEL.MASK_ON else "faster"
-        ) + "_rcnn_train_imgs_per_sec_per_chip",
+    fam = (
+        "keypoint" if cfg.MODEL.KEYPOINTS_ON
+        else "mask" if cfg.MODEL.MASK_ON else "faster"
+    )
+    payload = {
+        "metric": fam + "_rcnn_train_imgs_per_sec_per_chip",
         "value": round(n_images * iters / dt, 2),
         "ms_per_step": round(dt / iters * 1e3, 1),
         "compile_s": round(compile_s, 1),
@@ -164,7 +165,17 @@ def main():
             / (2.40 if cfg.MODEL.KEYPOINTS_ON
                else 2.25 if cfg.MODEL.MASK_ON else 3.68), 2
         ),
-    }))
+        "batch": n_images,
+        "remat": bool(cfg.REMAT_BACKBONE),
+    }
+    print(json.dumps(payload))
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from driveutil import record_result
+    record_result(
+        f"family_{fam}_rcnn_bs{n_images}"
+        + ("_remat_on" if cfg.REMAT_BACKBONE else ""),
+        payload,
+    )
 
 
 if __name__ == "__main__":

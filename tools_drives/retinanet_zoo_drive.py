@@ -131,16 +131,23 @@ def main():
 
     imgs_per_sec = n_images * iters / dt
     base = BASELINES.get(name)
-    print(json.dumps({
+    short = name.replace("retinanet_", "").replace(".yaml", "")
+    payload = {
         "metric": "plain_retinanet_train_imgs_per_sec_per_chip",
-        "model": name.replace("retinanet_", "").replace(".yaml", ""),
+        "model": short,
         "value": round(imgs_per_sec, 2),
         "ms_per_step": round(dt / iters * 1e3, 1),
         "canvas": [h, w],
         "batch": n_images,
         "compile_s": round(compile_s, 1),
         "vs_baseline": round(imgs_per_sec / base, 2) if base else None,
-    }))
+    }
+    print(json.dumps(payload))
+    import os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from driveutil import record_result
+    trunk = "".join(short.split("-")[:2]).lower()  # R-50.. -> r50, X-101..
+    record_result("zoo_retinanet_" + trunk, payload)
 
 
 if __name__ == "__main__":

@@ -173,6 +173,11 @@ def main():
         print(tag, json.dumps(results[tag]), flush=True)
 
     print(json.dumps(results))
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from driveutil import record_result
+    record_result("roi_align_kernel", results)
     print("DRIVE OK")
 
 

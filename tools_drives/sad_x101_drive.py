@@ -136,19 +136,20 @@ def main():
 
     imgs_per_sec = n_images * iters / dt
     baseline = 16 / 0.666 / 8  # plain R-101 per-GPU imgs/s, MODEL_ZOO
-    print(
-        json.dumps(
-            {
-                "metric": "joint_distill_x101_imgs_per_sec_per_chip",
-                "value": round(imgs_per_sec, 3),
-                "unit": f"imgs/s/chip (R101<-X101 SAD step, {h}x{w}, "
-                        f"bs{n_images})",
-                "ms_per_step": round(dt / iters * 1e3, 1),
-                "vs_baseline": round(imgs_per_sec / baseline, 3),
-            }
-        ),
-        flush=True,
-    )
+    payload = {
+        "metric": "joint_distill_x101_imgs_per_sec_per_chip",
+        "value": round(imgs_per_sec, 3),
+        "unit": f"imgs/s/chip (R101<-X101 SAD step, {h}x{w}, "
+                f"bs{n_images})",
+        "ms_per_step": round(dt / iters * 1e3, 1),
+        "vs_baseline": round(imgs_per_sec / baseline, 3),
+    }
+    print(json.dumps(payload), flush=True)
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from driveutil import record_result
+    record_result(f"sad_x101_joint_step_bs{n_images}", payload)
 
 
 if __name__ == "__main__":

@@ -55,10 +55,14 @@ def main():
         im_hw = jnp.asarray(np.tile(np.float32([500.0, 833.0]), (bs, 1)))
         im_scale = jnp.asarray(np.full((bs,), 1.0, np.float32))
 
+        # params MUST be a jit argument (round-4 postmortem: closure-
+        # capturing them baked the ~90M-param pytree into the HLO as
+        # constants and the serialized remote-compile request tripped the
+        # tunnel's body limit, HTTP 413 — results/x101_infer_r4_failure).
         @jax.jit
-        def run(images):
+        def run(p, images):
             def body(carry, _):
-                out = infer(params, carry, im_hw, im_scale)
+                out = infer(p, carry, im_hw, im_scale)
                 shift = jnp.sum(out["scores"]) * 1e-9 + 1.0000001
                 return carry * shift, ()
 
@@ -66,12 +70,12 @@ def main():
             return final
 
         t0 = time.perf_counter()
-        jax.block_until_ready(run(images0))  # compile + warm
+        jax.block_until_ready(run(params, images0))  # compile + warm
         print(f"exact={exact} canvas={(h, w)} compile+first: "
               f"{time.perf_counter() - t0:.1f}s", flush=True)
-        jax.block_until_ready(run(images0))
+        jax.block_until_ready(run(params, images0))
         t0 = time.perf_counter()
-        jax.block_until_ready(run(images0))
+        jax.block_until_ready(run(params, images0))
         dt = time.perf_counter() - t0
         tag = "exact" if exact else "approx"
         results[tag] = {
@@ -83,12 +87,17 @@ def main():
     results["speedup"] = round(
         results["approx"]["imgs_per_s"] / results["exact"]["imgs_per_s"], 3
     )
-    print(json.dumps({
+    payload = {
         "metric": "x101_teacher_inference_scale500",
         "vs_baseline_exact": round(
             results["exact"]["imgs_per_s"] / (1 / 0.341), 2),
         **results,
-    }))
+    }
+    print(json.dumps(payload))
+    import sys
+    sys.path.insert(0, "/root/repo/tools_drives")
+    from driveutil import record_result
+    record_result("x101_teacher_inference", payload)
 
 
 if __name__ == "__main__":
