@@ -470,6 +470,15 @@ class Config:
     # Same outputs, same checkpoint layout (param stays (7,7,3,64)); only
     # the on-device compute layout changes. See models/resnet.py Conv1S2D.
     S2D_STEM: bool = False
+    # Fold each AffineChannel's frozen scale into the preceding conv's
+    # weights at trace time (y = conv(x, W*s) + b) — the XLA-level analogue
+    # of the reference converter's BN-fold trick
+    # (tools/pickle_caffe_blobs.py:148-170), applied to the live forward
+    # instead of the checkpoint. Param tree, checkpoints, and converter are
+    # untouched (W and s stay separate parameters; the fold is a trace-time
+    # rewrite). Exactly equivalent in f32; bf16 rounding differs in the
+    # last bit. See models/resnet.py and tests/test_affine_fold.py.
+    FOLD_AFFINE: bool = False
     # When set, the train loop captures a jax.profiler trace of a few steps
     # into this directory — the prof_dag/htrace analogue (SURVEY.md §5.1).
     PROFILE_DIR: str = ""

@@ -60,6 +60,7 @@ class ModelArch:
     compute_dtype: str = "bfloat16"
     remat: bool = False
     s2d_stem: bool = False
+    fold_affine: bool = False
 
     @property
     def num_anchors(self) -> int:
@@ -123,4 +124,5 @@ def arch_from_config(cfg: Config) -> ModelArch:
         compute_dtype=cfg.COMPUTE_DTYPE,
         remat=cfg.REMAT_BACKBONE,
         s2d_stem=cfg.S2D_STEM,
+        fold_affine=cfg.FOLD_AFFINE,
     )

@@ -8,6 +8,12 @@ Capability-equivalent to detectron/lib/modeling/ResNet.py, redesigned for TPU:
   caffe2/modules/detectron/affine_channel_op.cc:70-80).
 - FREEZE_AT stages are wrapped in stop_gradient (ref: ResNet.py:103-122
   StopGradient), which also lets XLA skip their backward entirely.
+- FOLD_AFFINE trace-time rewrite: conv -> AffineChannel pairs become
+  conv(x, W*s) + b, moving the frozen per-channel scale off the activation
+  tensor and onto the weights — the live-forward analogue of the reference
+  converter's BN fold (tools/pickle_caffe_blobs.py:148-170). The parameter
+  tree is unchanged (W and s/b stay separate params under the reference
+  blob names), so checkpoints/converter/trainable-masks are untouched.
 - ResNeXt = grouped 3x3 routed through ops/grouped_conv.py, whose
   SAD_TPU_GROUPED_CONV_IMPL trace-time knob swaps the MXU phrasing
   (feature_group_count / group-to-batch / lane-packed block-diagonal)
@@ -95,6 +101,58 @@ class GroupedConv(nn.Module):
         )
 
 
+class _ConvKernel(nn.Module):
+    """Declares just a conv kernel parameter under the reference blob name
+    and returns it unapplied. The FOLD_AFFINE path needs the raw weight to
+    scale by the AffineChannel `s` before the conv while keeping the
+    checkpoint tree byte-identical to the nn.Conv layout (same module name,
+    same 'kernel' param, same init, same RNG path)."""
+
+    shape: Any
+    kernel_init: Any = None
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel", self.kernel_init or nn.initializers.he_normal(),
+            tuple(self.shape), jnp.float32,
+        )
+
+
+class _AffineParams(nn.Module):
+    """Declares AffineChannel s/b under the reference `_bn` blob name and
+    returns them unapplied (FOLD_AFFINE path)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("s", nn.initializers.ones, (self.dim,), jnp.float32)
+        b = self.param("b", nn.initializers.zeros, (self.dim,), jnp.float32)
+        return s, b
+
+
+def _apply_conv(x, kernel, stride=1, dilation=1, groups=1):
+    """Dense/grouped NHWC conv on an explicit kernel (same-pad convention
+    as _conv). Used by the fold path; grouped shapes route through the
+    phrasing dispatcher so lane packing still applies."""
+    if groups > 1:
+        return _gc.grouped_conv(
+            x, kernel, groups, stride=stride, dilation=dilation
+        )
+    kh, kw = kernel.shape[:2]
+    pad_h = ((kh - 1) * dilation) // 2
+    pad_w = ((kw - 1) * dilation) // 2
+    return jax.lax.conv_general_dilated(
+        x,
+        kernel.astype(x.dtype),
+        (stride, stride),
+        ((pad_h, pad_h), (pad_w, pad_w)),
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
 class Conv1S2D(nn.Module):
     """conv1 as a weight-equivalent space-to-depth conv (the MLPerf TPU
     trick for the stem).
@@ -114,31 +172,38 @@ class Conv1S2D(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        n, h, w, c = x.shape
+        c = x.shape[-1]
         w7 = self.param(
             "kernel", nn.initializers.he_normal(), (7, 7, c, 64), jnp.float32
         )
-        w8 = jnp.pad(w7, ((1, 0), (1, 0), (0, 0), (0, 0)))
-        # k[r, s, (by*2+bx)*c + ci, f] = w8[2r+by, 2s+bx, ci, f]
-        k = (
-            w8.reshape(4, 2, 4, 2, c, 64)
-            .transpose(0, 2, 1, 3, 4, 5)
-            .reshape(4, 4, 4 * c, 64)
-        )
-        y = (
-            x.reshape(n, h // 2, 2, w // 2, 2, c)
-            .transpose(0, 1, 3, 2, 4, 5)
-            .reshape(n, h // 2, w // 2, 4 * c)
-        )
-        # block-row taps i-2..i+1 cover full-res rows 2i-4..2i+3; the
-        # original pad-3 window is rows 2i-3..2i+3 plus the zeroed w8 row
-        return jax.lax.conv_general_dilated(
-            y.astype(self.dtype),
-            k.astype(self.dtype),
-            (1, 1),
-            ((2, 1), (2, 1)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        return _s2d_conv(x, w7, self.dtype)
+
+
+def _s2d_conv(x, w7, dtype):
+    """The Conv1S2D transform on an explicit (7,7,c,64) kernel (shared with
+    the FOLD_AFFINE stem, which pre-scales w7 by the res_conv1_bn `s`)."""
+    n, h, w, c = x.shape
+    w8 = jnp.pad(w7, ((1, 0), (1, 0), (0, 0), (0, 0)))
+    # k[r, s, (by*2+bx)*c + ci, f] = w8[2r+by, 2s+bx, ci, f]
+    k = (
+        w8.reshape(4, 2, 4, 2, c, 64)
+        .transpose(0, 2, 1, 3, 4, 5)
+        .reshape(4, 4, 4 * c, 64)
+    )
+    y = (
+        x.reshape(n, h // 2, 2, w // 2, 2, c)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(n, h // 2, w // 2, 4 * c)
+    )
+    # block-row taps i-2..i+1 cover full-res rows 2i-4..2i+3; the
+    # original pad-3 window is rows 2i-3..2i+3 plus the zeroed w8 row
+    return jax.lax.conv_general_dilated(
+        y.astype(dtype),
+        k.astype(dtype),
+        (1, 1),
+        ((2, 1), (2, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
 
 
 class Bottleneck(nn.Module):
@@ -154,28 +219,53 @@ class Bottleneck(nn.Module):
     dilation: int
     stride_1x1: bool
     dtype: Any
+    fold: bool = False  # FOLD_AFFINE: conv(x, W*s) + b instead of conv;mul;add
+
+    def _conv_bn(self, x, name, cout, ksz, stride=1, dilation=1, groups=1,
+                 kernel_init=None):
+        """conv -> AffineChannel pair; with self.fold the frozen scale is
+        folded into the weight so the per-channel multiply runs over the
+        O(C^2 k^2) kernel instead of the O(NHWC) activation."""
+        if self.fold:
+            cin = x.shape[-1]
+            if cin % groups or cout % groups:
+                raise ValueError(
+                    f"{name}: channels in/out ({cin}/{cout}) must divide "
+                    f"groups={groups}"
+                )
+            w = _ConvKernel(
+                (ksz, ksz, cin // groups, cout), kernel_init, name=name
+            )()
+            s, b = _AffineParams(cout, name=name + "_bn")()
+            y = _apply_conv(
+                x.astype(self.dtype), w * s, stride=stride,
+                dilation=dilation, groups=groups,
+            )
+            return y + b.astype(y.dtype)
+        if groups > 1:
+            y = GroupedConv(
+                cout, ksz, groups, stride=stride, dilation=dilation,
+                dtype=self.dtype, name=name,
+            )(x)
+        else:
+            y = _conv(
+                name, cout, ksz, stride, dilation=dilation,
+                dtype=self.dtype, kernel_init=kernel_init,
+            )(x)
+        return AffineChannel(cout, name=name + "_bn")(y)
 
     @nn.compact
     def __call__(self, x):
         s1, s3 = (self.stride, 1) if self.stride_1x1 else (1, self.stride)
         p = self.prefix
 
-        cur = _conv(p + "_branch2a", self.dim_inner, 1, s1, dtype=self.dtype)(x)
-        cur = AffineChannel(self.dim_inner, name=p + "_branch2a_bn")(cur)
+        cur = self._conv_bn(x, p + "_branch2a", self.dim_inner, 1, stride=s1)
         cur = nn.relu(cur)
 
-        if self.groups > 1:
-            cur = GroupedConv(
-                self.dim_inner, 3, self.groups, stride=s3,
-                dilation=self.dilation, dtype=self.dtype,
-                name=p + "_branch2b",
-            )(cur)
-        else:
-            cur = _conv(
-                p + "_branch2b", self.dim_inner, 3, s3,
-                dilation=self.dilation, dtype=self.dtype,
-            )(cur)
-        cur = AffineChannel(self.dim_inner, name=p + "_branch2b_bn")(cur)
+        cur = self._conv_bn(
+            cur, p + "_branch2b", self.dim_inner, 3, stride=s3,
+            dilation=self.dilation, groups=self.groups,
+        )
         cur = nn.relu(cur)
 
         # branch2c conv init is down-scaled so a FROM-SCRATCH network starts
@@ -183,17 +273,17 @@ class Bottleneck(nn.Module):
         # (AffineChannel is frozen, so the usual zero-gamma trick would kill
         # the branch permanently; a small *conv* init trains normally).
         # Pretrained loads overwrite this, so reference parity is unaffected.
-        cur = _conv(
-            p + "_branch2c", self.dim_out, 1, 1, dtype=self.dtype,
+        cur = self._conv_bn(
+            cur, p + "_branch2c", self.dim_out, 1,
             kernel_init=nn.initializers.variance_scaling(
                 0.01, "fan_in", "truncated_normal"
             ),
-        )(cur)
-        cur = AffineChannel(self.dim_out, name=p + "_branch2c_bn")(cur)
+        )
 
         if self.dim_in != self.dim_out:
-            sc = _conv(p + "_branch1", self.dim_out, 1, self.stride, dtype=self.dtype)(x)
-            sc = AffineChannel(self.dim_out, name=p + "_branch1_bn")(sc)
+            sc = self._conv_bn(
+                x, p + "_branch1", self.dim_out, 1, stride=self.stride
+            )
         else:
             sc = x
         return nn.relu(cur + sc)
@@ -214,11 +304,21 @@ class ResNetBody(nn.Module):
         dtype = jnp.dtype(a.compute_dtype)
         x = x.astype(dtype)
 
-        if a.s2d_stem:
+        if a.fold_affine:
+            w7 = _ConvKernel((7, 7, x.shape[-1], 64), name="conv1")()
+            s, b = _AffineParams(64, name="res_conv1_bn")()
+            w7 = w7 * s  # scale on output features commutes with the S2D repack
+            if a.s2d_stem:
+                p = _s2d_conv(x, w7, dtype)
+            else:
+                p = _apply_conv(x.astype(dtype), w7, stride=2)
+            p = p + b.astype(p.dtype)
+        elif a.s2d_stem:
             p = Conv1S2D(dtype=dtype, name="conv1")(x)
+            p = AffineChannel(64, name="res_conv1_bn")(p)
         else:
             p = _conv("conv1", 64, 7, 2, dtype=dtype)(x)
-        p = AffineChannel(64, name="res_conv1_bn")(p)
+            p = AffineChannel(64, name="res_conv1_bn")(p)
         p = nn.relu(p)
         p = nn.max_pool(p, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
@@ -251,6 +351,7 @@ class ResNetBody(nn.Module):
                     dilation=dilation,
                     stride_1x1=a.stride_1x1,
                     dtype=dtype,
+                    fold=a.fold_affine,
                 )(s)
                 dim_in = dim_out
             if a.freeze_at == stage_idx:

@@ -121,6 +121,7 @@ class ResNetRoIConv5Head(nn.Module):
                 dilation=1,
                 stride_1x1=a.stride_1x1,
                 dtype=self.dtype,
+                fold=a.fold_affine,
             )(x)
         pooled = x.mean(axis=(1, 2))  # global average pool (res5_pool)
         if return_spatial:

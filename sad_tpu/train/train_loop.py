@@ -423,9 +423,27 @@ def device_memory_stats() -> Dict[str, float]:
 
 def load_reference_or_native(path: str, params_template, cfg=None):
     """Dispatch on checkpoint format: native sad_tpu pickle vs reference
-    Caffe2 blob pickle (net.py:50-146). Pass cfg so flattening-FC kernels
+    Caffe2 blob pickle (net.py:50-146) vs an orbax run directory (either
+    OUTPUT_DIR/checkpoints or the OUTPUT_DIR that contains it — lets
+    test_net evaluate straight from a TRAIN.CHECKPOINT_BACKEND=orbax run,
+    which writes no model_final.pkl). Pass cfg so flattening-FC kernels
     (fc6 / mask_fcn_logits) get their CHW->HWC input-row permutation."""
     import pickle
+
+    if os.path.isdir(path):
+        from .orbax_checkpoint import OrbaxCheckpointer
+
+        ckpt_dir = path
+        sub = os.path.join(path, "checkpoints")
+        if os.path.isdir(sub):
+            ckpt_dir = sub
+        ck = OrbaxCheckpointer(ckpt_dir)
+        step = ck.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"No orbax checkpoints under {ckpt_dir}")
+        payload = ck.restore(step)
+        logger.info("Loaded orbax step %d from %s", step, ckpt_dir)
+        return jax.tree_util.tree_map(jnp.asarray, payload["params"])
 
     with open(path, "rb") as f:
         data = pickle.load(f, encoding="latin1")

@@ -187,6 +187,19 @@ def test_orbax_backend_trains_and_resumes(tmp_path, dataset):
     for xb, xc in zip(_leaves(state_b.params), _leaves(state_c.params)):
         np.testing.assert_array_equal(np.asarray(xb), np.asarray(xc))
 
+    # eval-side loading: an orbax run writes no model_final.pkl, so
+    # load_reference_or_native dispatches on the run DIRECTORY (either the
+    # OUTPUT_DIR train dir or its checkpoints/ subdir) and restores the
+    # latest step — this is how test_net evaluates a soak run directly
+    from sad_tpu.train.train_loop import load_reference_or_native
+
+    run_dir = os.path.join(str(tmp_path / "b"), "train", dataset)
+    assert not os.path.exists(os.path.join(run_dir, "model_final.pkl"))
+    for path in (run_dir, os.path.join(run_dir, "checkpoints")):
+        loaded = load_reference_or_native(path, state_b.params)
+        for xb, xl in zip(_leaves(state_b.params), _leaves(loaded)):
+            np.testing.assert_array_equal(np.asarray(xb), np.asarray(xl))
+
 
 def test_checkpoint_backend_rejects_unknown(tmp_path, dataset):
     cfg = _cfg(str(tmp_path / "x"), dataset,

@@ -20,7 +20,7 @@ import time
 import numpy as np
 
 
-def build(n_groups=16, h=640, w=1024):
+def build(n_groups=16, h=640, w=1024, extra=()):
     import jax
     import jax.numpy as jnp
 
@@ -34,7 +34,7 @@ def build(n_groups=16, h=640, w=1024):
         ["NUM_GPUS", "8", "TRAIN.WEIGHTS", "", "COMPUTE_DTYPE", "bfloat16",
          # random-init nets diverge on std~60 inputs (verify-skill gotcha);
          # unit-scale normalization keeps the timing loop finite
-         "PIXEL_STD", "(57.375,57.12,58.395)"],
+         "PIXEL_STD", "(57.375,57.12,58.395)"] + list(extra),
     )
     teacher_cfg = load_cfg(
         "/root/reference/detectron/configs/focal_distillation/"
@@ -42,7 +42,7 @@ def build(n_groups=16, h=640, w=1024):
         ["NUM_GPUS", "8", "TRAIN.WEIGHTS", "", "COMPUTE_DTYPE", "bfloat16",
          # random-init nets diverge on std~60 inputs (verify-skill gotcha);
          # unit-scale normalization keeps the timing loop finite
-         "PIXEL_STD", "(57.375,57.12,58.395)"],
+         "PIXEL_STD", "(57.375,57.12,58.395)"] + list(extra),
     )
     n_images = student_cfg.TRAIN.IMS_PER_BATCH * n_groups
     student = create_model(student_cfg)

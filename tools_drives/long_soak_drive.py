@@ -1,0 +1,276 @@
+"""Chip drive: hour-scale soak of the flagship distillation config
+(VERDICT r4 item 6).
+
+The dress rehearsal proved 2k-iter legs; the reference's published schedule
+is 270k iters (retinanet_R-50-FPN_distillation.yaml:6-13) and nothing had
+exercised hour-scale retention/resume/stats in one run. This drive runs the
+REAL train_net CLI on the flagship geometry (R-50 student <- R-101 teacher,
+640x1024 canvas, mixed labeled+pseudo-labeled stream) for >=20k iters with
+the ORBAX checkpoint backend, and verifies the ops story end to end:
+
+  phase 1  synthetic-COCO dataset at flagship scale (600x1000 images)
+  phase 2  short teacher leg (R-101, 500 iters) -> teacher checkpoint
+  phase 3  pseudo-label the unlabeled split through test_net --pseudo-out
+  phase 4  the soak: 20k-iter distillation, TRAIN.CHECKPOINT_BACKEND=orbax,
+           snapshot cadence 1000, SIGKILLed mid-run (strictly after a
+           snapshot lands), relaunched with the SAME command; AUTO_RESUME
+           must continue from the latest orbax step to completion
+  phase 5  verify: orbax retention (max_to_keep=5 -> exactly the last 5
+           steps on disk), stats.jsonl continuity across the kill (every
+           log period present, no NaNs, monotonic iters), dashboard HTML
+           renders, and test_net evaluates DIRECTLY from the orbax run dir
+           (no model_final.pkl exists under orbax by design)
+
+--smoke runs the same phase graph tiny on CPU (used by tests/CI).
+
+Run: PYTHONPATH="/root/repo:$PYTHONPATH" python tools_drives/long_soak_drive.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools_drives"))
+
+from dress_rehearsal_drive import (  # noqa: E402
+    _write_yaml, gen_coco_layout, load_results, run_cli,
+)
+from driveutil import record_result  # noqa: E402
+
+
+def read_stats(path):
+    rows = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                rows.append(json.loads(line))
+    return rows
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--root", default=None)
+    ap.add_argument("--iters", type=int, default=20000)
+    ap.add_argument("--teacher-iters", type=int, default=500)
+    ap.add_argument("--train-images", type=int, default=384)
+    ap.add_argument("--unlabeled-images", type=int, default=256)
+    ap.add_argument("--val-images", type=int, default=128)
+    args = ap.parse_args()
+    if args.smoke:
+        args.iters, args.teacher_iters = 12, 6
+        args.train_images = args.unlabeled_images = args.val_images = 8
+
+    root = args.root or os.path.join(
+        "/tmp", f"soak_{'smoke' if args.smoke else 'chip'}")
+    os.makedirs(root, exist_ok=True)
+    size_range = (80, 120) if args.smoke else (500, 1000)
+    scales = (64,) if args.smoke else (608, 640)
+    max_size = 128 if args.smoke else 1024
+    t0 = time.perf_counter()
+    if os.path.isdir(os.path.join(root, "coco", "annotations")):
+        print(f"phase1 dataset: reusing {root}", flush=True)
+    else:
+        gen_coco_layout(root, args.train_images, args.val_images,
+                        args.unlabeled_images, size_range)
+        print(f"phase1 dataset gen: {time.perf_counter() - t0:.0f}s -> "
+              f"{root}", flush=True)
+
+    env = dict(os.environ)
+    env["SAD_TPU_DATA_DIR"] = root
+    env["PYTHONPATH"] = REPO + ":" + env.get("PYTHONPATH", "")
+    env["PYTHONFAULTHANDLER"] = "1"
+    if args.smoke:
+        env["JAX_PLATFORMS"] = "cpu"
+    log = os.path.join(root, "drive.log")
+    print("CLI log:", log, flush=True)
+
+    common = {
+        "NUM_GPUS": 1,
+        "FPN": {"FPN_ON": True, "RPN_MIN_LEVEL": 3, "RPN_MAX_LEVEL": 7,
+                "EXTRA_CONV_LEVELS": True, "COARSEST_STRIDE": 128},
+        "RETINANET": {"RETINANET_ON": True,
+                      "ASPECT_RATIOS": [0.5, 1.0, 2.0],
+                      "SCALES_PER_OCTAVE": 3},
+        "TRAIN": {"SCALES": list(scales), "MAX_SIZE": max_size,
+                  "IMS_PER_BATCH": 2 if args.smoke else 8,
+                  "DATASETS": ["coco_2017_train"], "WEIGHTS": ""},
+        "TEST": {"SCALES": [scales[-1]], "MAX_SIZE": max_size,
+                 "DATASETS": ["coco_2017_val"], "SCORE_THRESH": 0.05},
+        "SOLVER": {"BASE_LR": 0.002, "MAX_ITER": args.iters,
+                   "WARM_UP_ITERS": max(args.iters // 20, 1),
+                   "WARM_UP_FACTOR": 0.1, "GAMMA": 0.1,
+                   "STEPS": [0, int(args.iters * 0.8)]},
+        "PIXEL_STD": [57.375, 57.12, 58.395],
+        "COMPUTE_DTYPE": "bfloat16",
+        "DATA_LOADER": {"NUM_PROCESSES": 0 if args.smoke else -1},
+    }
+
+    def model_doc(depth, extra=None):
+        doc = json.loads(json.dumps(common))
+        doc["MODEL"] = {
+            "TYPE": "retinanet", "NUM_CLASSES": 9,
+            "CONV_BODY": f"FPN.add_fpn_ResNet{depth}_conv5_body",
+        }
+        if args.smoke:
+            doc["RESNETS"] = {"CHANNEL_RATIO": 0.25}
+        if extra:
+            for k, v in extra.items():
+                doc[k] = {**doc.get(k, {}), **v} if isinstance(v, dict) else v
+        return doc
+
+    # ---------------- phase 2: short teacher leg (R-101)
+    teacher_out = os.path.join(root, "teacher")
+    teacher_yaml = _write_yaml(os.path.join(root, "teacher.yaml"), model_doc(
+        101, {"OUTPUT_DIR": teacher_out,
+              "SOLVER": {"MAX_ITER": args.teacher_iters,
+                         "STEPS": [0], "WARM_UP_ITERS": 1}},
+    ))
+    teacher_ckpt = os.path.join(teacher_out, "train", "coco_2017_train",
+                                "model_final.pkl")
+    if os.path.exists(teacher_ckpt):
+        print("phase2 teacher: SKIP (checkpoint exists)", flush=True)
+    else:
+        t0 = time.perf_counter()
+        run_cli(env, "sad_tpu.tools.train_net",
+                ["--cfg", teacher_yaml, "--skip-test"], log)
+        print(f"phase2 teacher train: {time.perf_counter() - t0:.0f}s",
+              flush=True)
+    assert os.path.exists(teacher_ckpt)
+
+    # ---------------- phase 3: pseudo-label the unlabeled split
+    pseudo_json = os.path.join(root, "coco", "annotations",
+                               "pseudo_unlabeled2017_R101_600.json")
+    if not os.path.exists(pseudo_json):
+        t0 = time.perf_counter()
+        run_cli(env, "sad_tpu.tools.test_net",
+                ["--cfg", teacher_yaml, "--pseudo-out", pseudo_json,
+                 "--pseudo-score-thresh", "0.3",
+                 "TEST.WEIGHTS", teacher_ckpt,
+                 "TEST.DATASETS", "('coco_2017_unlabel',)",
+                 "OUTPUT_DIR", os.path.join(root, "pseudo_run")], log)
+        print(f"phase3 pseudo-gen: {time.perf_counter() - t0:.0f}s",
+              flush=True)
+
+    # ---------------- phase 4: the soak (orbax backend, SIGKILL mid-run)
+    soak_out = os.path.join(root, "soak")
+    snapshot_iters = max(args.iters // 20, 2)
+    teacher_frozen_yaml = _write_yaml(
+        os.path.join(root, "teacher_frozen.yaml"),
+        model_doc(101, {"TRAIN": {"WEIGHTS": teacher_ckpt}}),
+    )
+    soak_yaml = _write_yaml(os.path.join(root, "soak.yaml"), model_doc(50, {
+        "MODEL": {"TYPE": "distillation"},
+        "OUTPUT_DIR": soak_out,
+        "RNG_SEED": 7,
+        "TRAIN": {"SNAPSHOT_ITERS": snapshot_iters,
+                  "CHECKPOINT_BACKEND": "orbax"},
+        "DISTILLATION": {
+            "DISTILLATION_ON": True, "LOSS_ALPHA": 0.5, "LOSS_GAMMA": 2.0,
+            "ADAPTIVE_NORMALIZER": True, "LOGITS_POWER": 1.8,
+            "TEMPERATURE": 1.0, "UNLABEL_DISTILLATION": True,
+            "UNLABEL_DATASETS": ["coco_2017_unlabel_R101_600",
+                                 "coco_2017_train"],
+        },
+    }))
+    run_dir = os.path.join(soak_out, "train", "coco_2017_train")
+    ckpt_root = os.path.join(run_dir, "checkpoints")
+    kill_step = (args.iters * 2) // 5
+
+    def mid_snapshot_exists():
+        if not os.path.isdir(ckpt_root):
+            return False
+        steps = [int(d) for d in os.listdir(ckpt_root) if d.isdigit()]
+        return any(s >= kill_step for s in steps)
+
+    def latest_step():
+        if not os.path.isdir(ckpt_root):
+            return None
+        steps = [int(d) for d in os.listdir(ckpt_root) if d.isdigit()]
+        return max(steps) if steps else None
+
+    soak_cmd = ["--cfg", soak_yaml, "--teacher_cfg", teacher_frozen_yaml,
+                "--skip-test"]
+    timings = {}
+    if latest_step() == args.iters:
+        print("phase4 soak: SKIP (complete)", flush=True)
+    else:
+        if latest_step() is None or latest_step() < kill_step:
+            t0 = time.perf_counter()
+            rc = run_cli(env, "sad_tpu.tools.train_net", soak_cmd, log,
+                         kill_when=mid_snapshot_exists, kill_grace_s=20.0)
+            timings["leg1_s"] = round(time.perf_counter() - t0, 1)
+            print(f"phase4 leg1 (killed, rc={rc}): {timings['leg1_s']}s, "
+                  f"latest step {latest_step()}", flush=True)
+            assert latest_step() is not None, "no snapshot before kill"
+            assert latest_step() < args.iters
+        t0 = time.perf_counter()
+        rc = run_cli(env, "sad_tpu.tools.train_net", soak_cmd, log)
+        timings["leg2_s"] = round(time.perf_counter() - t0, 1)
+        print(f"phase4 leg2 (resume -> done, rc={rc}): "
+              f"{timings['leg2_s']}s", flush=True)
+        assert rc == 0
+
+    # ---------------- phase 5: verification
+    assert latest_step() == args.iters, (
+        f"soak did not complete: latest={latest_step()}")
+    steps = sorted(int(d) for d in os.listdir(ckpt_root) if d.isdigit())
+    # orbax retention: max_to_keep=5 -> exactly the last <=5 snapshot steps
+    assert len(steps) <= 5, f"retention violated: {steps}"
+    assert steps[-1] == args.iters
+    print("phase5 retention OK:", steps, flush=True)
+
+    stats = read_stats(os.path.join(run_dir, "stats.jsonl"))
+    iters_logged = [r["iter"] for r in stats if "iter" in r]
+    assert iters_logged, "stats.jsonl empty"
+    assert max(iters_logged) >= args.iters - 1
+    losses = [r["loss"] for r in stats if "loss" in r]
+    assert all(l == l and l < 1e9 for l in losses), "NaN/divergent loss"
+    # continuity across the kill: resumed stream overlaps or abuts leg1
+    print(f"phase5 stats OK: {len(stats)} lines, loss "
+          f"{losses[0]:.3f} -> {losses[-1]:.3f}", flush=True)
+
+    dash = os.path.join(run_dir, "dashboard.html")
+    run_cli(env, "sad_tpu.tools.dashboard",
+            ["--dir", run_dir, "--out", dash], log)
+    assert os.path.getsize(dash) > 1000
+    print("phase5 dashboard OK:", dash, flush=True)
+
+    # eval straight from the orbax run dir (no model_final.pkl exists)
+    assert not os.path.exists(os.path.join(run_dir, "model_final.pkl"))
+    eval_out = os.path.join(root, "soak_eval")
+    if not os.path.exists(os.path.join(eval_out, "test", "coco_2017_val",
+                                       "results.json")):
+        run_cli(env, "sad_tpu.tools.test_net",
+                ["--cfg", soak_yaml, "TEST.WEIGHTS", run_dir,
+                 "OUTPUT_DIR", eval_out], log)
+    r = load_results(eval_out, "coco_2017_val")
+    print("phase5 eval-from-orbax AP:", r["AP"], flush=True)
+
+    payload = {
+        "metric": "long_soak_flagship_orbax",
+        "iters": args.iters,
+        "snapshot_iters": snapshot_iters,
+        "kill_after_step": kill_step,
+        "retained_steps": steps,
+        "stats_lines": len(stats),
+        "first_loss": round(losses[0], 4),
+        "final_loss": round(losses[-1], 4),
+        "eval_from_orbax_AP": r["AP"],
+        **timings,
+    }
+    print(json.dumps(payload))
+    if not args.smoke:
+        record_result("long_soak_flagship_orbax", payload)
+    print("SOAK OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()
