@@ -138,6 +138,7 @@ def make_rcnn_inference_fn(cfg: Config, model) -> Callable:
                     fd, flat, lvls.reshape(-1), prop_valid.reshape(-1),
                     cfg.FAST_RCNN.ROI_XFORM_RESOLUTION,
                     cfg.FAST_RCNN.ROI_XFORM_SAMPLING_RATIO,
+                    slots_per_im=r,  # flat is image-major by construction
                 )
                 cls_score, bbox_pred = model.apply(
                     {"params": params}, roi_feats,
@@ -215,6 +216,7 @@ def make_rcnn_inference_fn(cfg: Config, model) -> Callable:
                     feats, flat, lvls.reshape(-1), dets["valid"].reshape(-1),
                     cfg.MRCNN.ROI_XFORM_RESOLUTION,
                     cfg.MRCNN.ROI_XFORM_SAMPLING_RATIO,
+                    slots_per_im=k,  # flat is image-major by construction
                 )
                 logits = model.apply(
                     {"params": params}, mf, method="mask_heads"
@@ -227,6 +229,7 @@ def make_rcnn_inference_fn(cfg: Config, model) -> Callable:
                     feats, flat, lvls.reshape(-1), dets["valid"].reshape(-1),
                     cfg.KRCNN.ROI_XFORM_RESOLUTION,
                     cfg.KRCNN.ROI_XFORM_SAMPLING_RATIO,
+                    slots_per_im=k,  # flat is image-major by construction
                 )
                 hm = model.apply({"params": params}, kf, method="keypoint_heads")
                 dets["kps_heatmaps"] = hm.reshape((b, k) + hm.shape[1:])
@@ -275,6 +278,7 @@ def make_aux_on_boxes_fn(cfg: Config, model) -> Callable:
                     fd, flat, lvls, valid.reshape(-1),
                     cfg.MRCNN.ROI_XFORM_RESOLUTION,
                     cfg.MRCNN.ROI_XFORM_SAMPLING_RATIO,
+                    slots_per_im=k,  # flat is image-major by construction
                 )
                 logits = model.apply(
                     {"params": params}, mf, method="mask_heads"
@@ -287,6 +291,7 @@ def make_aux_on_boxes_fn(cfg: Config, model) -> Callable:
                     fd, flat, lvls, valid.reshape(-1),
                     cfg.KRCNN.ROI_XFORM_RESOLUTION,
                     cfg.KRCNN.ROI_XFORM_SAMPLING_RATIO,
+                    slots_per_im=k,  # flat is image-major by construction
                 )
                 hm = model.apply(
                     {"params": params}, kf, method="keypoint_heads"

@@ -342,6 +342,7 @@ class GeneralizedRCNN(nn.Module):
             valid.reshape(-1),
             cfg.FAST_RCNN.ROI_XFORM_RESOLUTION,
             cfg.FAST_RCNN.ROI_XFORM_SAMPLING_RATIO,
+            slots_per_im=r,  # flat_rois is image-major by construction
         )
         cls_score, bbox_pred = self.box_head(roi_feats)
         return {

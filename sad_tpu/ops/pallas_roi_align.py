@@ -675,6 +675,7 @@ def _mlra_bwd_features(
     res: int,
     sr: int,
     g: jnp.ndarray,  # (R, res, res, C) cotangent
+    slots_per_im: int = 0,
 ) -> Dict[int, jnp.ndarray]:
     """d/d(features): the windowed RMW kernel when the forward ran windowed;
     otherwise jax.linear_transpose of the dense matmul form (RoIAlign is
@@ -690,7 +691,7 @@ def _mlra_bwd_features(
 
     def lin(f):
         return dense_multilevel_roi_align(
-            f, rois, roi_levels, valid, res, sr
+            f, rois, roi_levels, valid, res, sr, slots_per_im
         )
 
     (df,) = jax.linear_transpose(lin, features)(g)
@@ -737,7 +738,7 @@ def _bwd(resolution, sampling_ratio, residuals, g):
 multilevel_roi_align_windowed.defvjp(_fwd, _bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def multilevel_roi_align_hybrid(
     features: Dict[int, jnp.ndarray],
     rois: jnp.ndarray,
@@ -745,24 +746,41 @@ def multilevel_roi_align_hybrid(
     valid: jnp.ndarray,
     resolution: int,
     sampling_ratio: int = 2,
+    slots_per_im: int = 0,
 ) -> jnp.ndarray:
     """Dense-forward / windowed-backward pairing (see ROI_ALIGN_MODE note):
     forward is the all-levels tent-matmul form XLA overlaps well in the
     full step; backward is the windowed RMW kernel (via _mlra_bwd_features,
-    which keeps the off-TPU / tiny-level / MAX_ROIS fallbacks)."""
+    which keeps the off-TPU / tiny-level / MAX_ROIS fallbacks).
+    slots_per_im: see ops.detectron_ops.roi_align (per-image blocking of
+    the dense forward)."""
     from .proposals import dense_multilevel_roi_align
 
     return dense_multilevel_roi_align(
-        features, rois, roi_levels, valid, resolution, sampling_ratio
+        features, rois, roi_levels, valid, resolution, sampling_ratio,
+        slots_per_im,
     )
 
 
 def _hybrid_fwd(features, rois, roi_levels, valid, resolution,
-                sampling_ratio):
+                sampling_ratio, slots_per_im):
     out = multilevel_roi_align_hybrid(
-        features, rois, roi_levels, valid, resolution, sampling_ratio
+        features, rois, roi_levels, valid, resolution, sampling_ratio,
+        slots_per_im,
     )
     return out, (features, rois, roi_levels, valid)
 
 
-multilevel_roi_align_hybrid.defvjp(_hybrid_fwd, _bwd)
+def _hybrid_bwd(resolution, sampling_ratio, slots_per_im, residuals, g):
+    features, rois, roi_levels, valid = residuals
+    df = _mlra_bwd_features(
+        features, rois, roi_levels, valid, resolution, sampling_ratio, g,
+        slots_per_im,
+    )
+    f0 = jax.dtypes.float0
+    return (df, jnp.zeros_like(rois),
+            np.zeros(roi_levels.shape, dtype=f0),
+            np.zeros(valid.shape, dtype=f0))
+
+
+multilevel_roi_align_hybrid.defvjp(_hybrid_fwd, _hybrid_bwd)

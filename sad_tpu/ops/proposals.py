@@ -197,6 +197,7 @@ def multilevel_roi_align(
     valid: jnp.ndarray,  # (R,)
     resolution: int,
     sampling_ratio: int = 2,
+    slots_per_im: int = 0,
 ) -> jnp.ndarray:
     """RoIAlign each roi from its FPN level (ref: RoIFeatureTransform +
     BatchPermutation shuffle, detector.py:240-305). Static-shape strategy:
@@ -226,10 +227,12 @@ def multilevel_roi_align(
         )
     if mode == "hybrid":
         return pallas_roi_align.multilevel_roi_align_hybrid(
-            features, rois, roi_levels, valid, resolution, sampling_ratio
+            features, rois, roi_levels, valid, resolution, sampling_ratio,
+            slots_per_im,
         )
     return dense_multilevel_roi_align(
-        features, rois, roi_levels, valid, resolution, sampling_ratio
+        features, rois, roi_levels, valid, resolution, sampling_ratio,
+        slots_per_im,
     )
 
 
@@ -240,10 +243,11 @@ def dense_multilevel_roi_align(
     valid: jnp.ndarray,
     resolution: int,
     sampling_ratio: int = 2,
+    slots_per_im: int = 0,
 ) -> jnp.ndarray:
     """The all-levels tent-matmul form (linear in `features` — the windowed
     kernel's custom VJP takes its backward as jax.linear_transpose of
-    this)."""
+    this). slots_per_im: see ops.detectron_ops.roi_align."""
     from .detectron_ops import roi_align
 
     outs = []
@@ -251,7 +255,8 @@ def dense_multilevel_roi_align(
     for lvl in lvls:
         outs.append(
             roi_align(
-                features[lvl], rois, 1.0 / (2 ** lvl), resolution, sampling_ratio
+                features[lvl], rois, 1.0 / (2 ** lvl), resolution,
+                sampling_ratio, slots_per_im=slots_per_im,
             )
         )
     stacked = jnp.stack(outs)  # (L, R, res, res, C)

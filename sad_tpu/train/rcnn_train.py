@@ -471,6 +471,7 @@ def make_rcnn_train_step(
                 sampled["valid"].reshape(-1),
                 cfg.FAST_RCNN.ROI_XFORM_RESOLUTION,
                 cfg.FAST_RCNN.ROI_XFORM_SAMPLING_RATIO,
+                slots_per_im=r,  # flat_rois is image-major by construction
             )
             cls_score, bbox_pred = model.apply(
                 {"params": params}, roi_feats,
@@ -550,6 +551,7 @@ def make_rcnn_train_step(
                     m_rois, m_lvls, m_is_fg,
                     cfg.MRCNN.ROI_XFORM_RESOLUTION,
                     cfg.MRCNN.ROI_XFORM_SAMPLING_RATIO,
+                    slots_per_im=mask_cap,  # _branch_slice is image-major
                 )
                 mlogits = model.apply(
                     {"params": params}, mfeats,
@@ -582,6 +584,7 @@ def make_rcnn_train_step(
                     k_rois, k_lvls, k_is_fg,
                     cfg.KRCNN.ROI_XFORM_RESOLUTION,
                     cfg.KRCNN.ROI_XFORM_SAMPLING_RATIO,
+                    slots_per_im=kp_cap,  # _branch_slice is image-major
                 )
                 klogits = model.apply(
                     {"params": params}, kfeats,

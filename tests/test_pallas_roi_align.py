@@ -211,23 +211,35 @@ def test_roi_align_mode_resolution(monkeypatch):
 
 
 def test_mode_guards_unaligned_channels(monkeypatch):
-    """Channels not a multiple of 128 lanes must degrade EVERY kernel mode
-    to dense: both kernels collapse (rows, dx, C) -> (rows, dx*C), which
-    Mosaic only supports for whole lane registers (observed on chip:
+    """Channels not a multiple of 128 lanes must degrade every kernel mode
+    to dense ON TPU: both kernels collapse (rows, dx, C) -> (rows, dx*C),
+    which Mosaic only supports for whole lane registers (observed on chip:
     'infer-vector-layout: unsupported shape cast' on vector<32x40x64> ->
     vector<32x2560> — the CHANNEL_RATIO=0.25 student's 64-channel FPN in
-    the rpn_topk --train-both drive)."""
+    the rpn_topk --train-both drive). The guard is Mosaic-specific, so on
+    CPU interpret mode an explicitly requested kernel mode is honored for
+    unaligned channels (advisor r4) — this test pins both behaviors."""
     c64 = {
         2: jnp.zeros((1, 64, 64, 64)),
         3: jnp.zeros((1, 32, 32, 64)),
     }
-    # auto mode refuses the kernel
+    on_tpu = jax.default_backend() == "tpu"
+    # auto mode never picks the kernel off-TPU; on TPU the lane guard
+    # refuses it for 64-channel features
     monkeypatch.setattr(pallas_roi_align, "USE_PALLAS_ROI_ALIGN", None)
     assert not pallas_roi_align.use_windowed_kernel(16, c64)
-    # explicit windowed/hybrid degrade at the mode resolver too
+    # explicit windowed/hybrid: degraded at the resolver on TPU, honored
+    # (with interpret-mode lowering) elsewhere
     for mode in ("windowed", "hybrid"):
         monkeypatch.setattr(pallas_roi_align, "ROI_ALIGN_MODE", mode)
-        assert pallas_roi_align.roi_align_mode(16, c64) == "dense"
+        expected = "dense" if on_tpu else mode
+        assert pallas_roi_align.roi_align_mode(16, c64) == expected
+    # the 8x8-minimum level guard is Mosaic-independent: every backend
+    # degrades explicit kernel modes to dense on a sub-8 level
+    tiny = {6: jnp.zeros((1, 2, 4, 256))}
+    for mode in ("windowed", "hybrid"):
+        monkeypatch.setattr(pallas_roi_align, "ROI_ALIGN_MODE", mode)
+        assert pallas_roi_align.roi_align_mode(16, tiny) == "dense"
     # aligned channels keep the explicit mode
     ok = {2: jnp.zeros((1, 64, 64, 256))}
     monkeypatch.setattr(pallas_roi_align, "ROI_ALIGN_MODE", "windowed")

@@ -63,6 +63,13 @@ def main():
     ap.add_argument("--train-images", type=int, default=384)
     ap.add_argument("--unlabeled-images", type=int, default=256)
     ap.add_argument("--val-images", type=int, default=128)
+    # Default geometry is the dress-rehearsal scale, NOT the flagship
+    # 640x1024: this host has ONE core, and the first soak attempt at
+    # flagship scale measured loader-bound ~1 s/step (the chip step is
+    # ~80 ms) — 20k iters would take >5h of host decode, not chip time.
+    # The soak's purpose (hour-scale retention/resume/stats/ops) is
+    # geometry-independent; pass --flagship-scale on a multi-core host.
+    ap.add_argument("--flagship-scale", action="store_true")
     args = ap.parse_args()
     if args.smoke:
         args.iters, args.teacher_iters = 12, 6
@@ -71,9 +78,12 @@ def main():
     root = args.root or os.path.join(
         "/tmp", f"soak_{'smoke' if args.smoke else 'chip'}")
     os.makedirs(root, exist_ok=True)
-    size_range = (80, 120) if args.smoke else (500, 1000)
-    scales = (64,) if args.smoke else (608, 640)
-    max_size = 128 if args.smoke else 1024
+    if args.smoke:
+        size_range, scales, max_size = (80, 120), (64,), 128
+    elif args.flagship_scale:
+        size_range, scales, max_size = (500, 1000), (608, 640), 1024
+    else:
+        size_range, scales, max_size = (260, 460), (288, 320), 512
     t0 = time.perf_counter()
     if os.path.isdir(os.path.join(root, "coco", "annotations")):
         print(f"phase1 dataset: reusing {root}", flush=True)
