@@ -295,7 +295,11 @@ def main():
     # honestly instead (batch changes RoI slot totals)
     f, n = trace_rcnn(mask_yaml, ("TRAIN.IMS_PER_BATCH", "8",
                                   "MRCNN.ROI_SLOTS_PER_IM", "32"))
-    add("mask_rcnn R-50-FPN bs8", f, n, "family_mask_rcnn_bs8_remat_off")
+    # prefer the live drive record; _remat_off is the round-4 backfill name
+    mask8 = ("family_mask_rcnn_bs8"
+             if measured_ms("family_mask_rcnn_bs8")
+             else "family_mask_rcnn_bs8_remat_off")
+    add("mask_rcnn R-50-FPN bs8", f, n, mask8)
     for fam, yaml, extra in (
         ("faster", mask_yaml, ("TRAIN.IMS_PER_BATCH", "8")),
         ("keypoint", kps_yaml, ("TRAIN.IMS_PER_BATCH", "8",
