@@ -318,7 +318,8 @@ def train_model(
         stats.log_iter_stats(
             p_it, p_lr,
             extra=(
-                {"queue": loader.queue_depth(), **device_memory_stats()}
+                {"queue": loader.queue_depth(), **device_memory_stats(),
+                 "host_rss_mb": host_rss_mb()}
                 if will_log else None
             ),
         )
@@ -408,6 +409,23 @@ def train_model(
         if own_loader:
             loader.shutdown()
     return state
+
+
+def host_rss_mb() -> float:
+    """Host resident set size in MB (/proc/self/statm) — logged with each
+    stats line. Added after the round-5 soak: an hour-scale run on the
+    axon tunnel leaked ~8 MB/iter of host RSS (matching the per-iter H2D
+    batch traffic; faulthandler dump in
+    tools_drives/results/soak_hang_dump_r5.txt) until the host thrashed at
+    ~120 GB. The leak is below the framework (tunnel client transfer
+    buffers); the mitigation is the framework's own AUTO_RESUME restart,
+    and this counter is the early-warning signal."""
+    try:
+        with open("/proc/self/statm") as f:
+            pages = int(f.read().split()[1])
+        return round(pages * os.sysconf("SC_PAGE_SIZE") / 1e6, 1)
+    except Exception:
+        return -1.0
 
 
 def device_memory_stats() -> Dict[str, float]:
