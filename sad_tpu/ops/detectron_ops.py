@@ -77,12 +77,17 @@ def roi_align(
     b, h, w, c = features.shape
     res, sr = resolution, sampling_ratio
 
-    if slots_per_im and b > 1:
-        if rois.shape[0] != b * slots_per_im:
-            raise ValueError(
-                f"slots_per_im={slots_per_im} needs {b}*{slots_per_im} rois,"
-                f" got {rois.shape[0]}"
-            )
+    if slots_per_im and rois.shape[0] != b * slots_per_im:
+        raise ValueError(
+            f"slots_per_im={slots_per_im} needs {b}*{slots_per_im} rois,"
+            f" got {rois.shape[0]}"
+        )
+    # b >= 4: blocking cuts executed flops by b, but the per-image matmuls
+    # contract over a b-times-smaller axis and tile the MXU worse. Chip
+    # measurements (round-5 queue #3): bs8 families +18-19% step; bs2 mask
+    # 62.8 ms blocked vs 61.1 unblocked (-2.8%) — so small batches keep
+    # the batch-folded form.
+    if slots_per_im and b >= 4:
         rois_im = rois.reshape(b, slots_per_im, 5)
         rois_im = rois_im.at[:, :, 0].set(0.0)  # single-image batch index
 

@@ -39,7 +39,7 @@ class TestRoiAlignSlotsPerIm:
     @pytest.mark.parametrize("hw", [(12, 16), (16, 12)])
     def test_forward_equivalence(self, hw):
         rng = np.random.RandomState(0)
-        b, s = 3, 10
+        b, s = 4, 10
         feats = jnp.asarray(rng.randn(b, *hw, 4).astype(np.float32))
         rois = _image_major_rois(rng, b, s, hw[0] * 4, hw[1] * 4)
         base = D.roi_align(feats, rois, 0.25, 5, 2)
@@ -51,7 +51,7 @@ class TestRoiAlignSlotsPerIm:
     def test_chunking_under_blocking(self):
         """slots_per_im > roi_chunk: the inner per-image chunk loop."""
         rng = np.random.RandomState(1)
-        b, s = 2, 9
+        b, s = 4, 9
         feats = jnp.asarray(rng.randn(b, 8, 8, 4).astype(np.float32))
         rois = _image_major_rois(rng, b, s, 32, 32)
         base = D.roi_align(feats, rois, 0.25, 3, 2, roi_chunk=4)
@@ -63,10 +63,11 @@ class TestRoiAlignSlotsPerIm:
         )
 
     def test_batch_column_ignored(self):
-        """The contract: with slots_per_im, image ownership comes from the
-        slot position, not the batch column."""
+        """The contract: with slots_per_im (and b >= 4, the measured
+        win region), image ownership comes from the slot position, not
+        the batch column."""
         rng = np.random.RandomState(2)
-        b, s = 2, 6
+        b, s = 4, 6
         feats = jnp.asarray(rng.randn(b, 8, 8, 4).astype(np.float32))
         rois = _image_major_rois(rng, b, s, 32, 32)
         scrambled = rois.at[:, 0].set(
@@ -76,6 +77,18 @@ class TestRoiAlignSlotsPerIm:
         bb = D.roi_align(feats, scrambled, 0.25, 3, 2, slots_per_im=s)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(bb))
 
+    def test_small_batch_gate(self):
+        """b < 4 keeps the batch-folded form (chip-measured: blocking
+        LOSES ~3% at bs2) — slots_per_im is then semantically inert, so
+        the batch column is honored again."""
+        rng = np.random.RandomState(7)
+        b, s = 2, 6
+        feats = jnp.asarray(rng.randn(b, 8, 8, 4).astype(np.float32))
+        rois = _image_major_rois(rng, b, s, 32, 32)
+        base = D.roi_align(feats, rois, 0.25, 3, 2)
+        gated = D.roi_align(feats, rois, 0.25, 3, 2, slots_per_im=s)
+        np.testing.assert_array_equal(np.asarray(gated), np.asarray(base))
+
     def test_shape_mismatch_raises(self):
         feats = jnp.zeros((2, 8, 8, 4))
         rois = jnp.zeros((7, 5))
@@ -84,7 +97,7 @@ class TestRoiAlignSlotsPerIm:
 
     def test_feature_grads_equal(self):
         rng = np.random.RandomState(3)
-        b, s = 2, 8
+        b, s = 4, 8
         feats = jnp.asarray(rng.randn(b, 10, 14, 4).astype(np.float32))
         rois = _image_major_rois(rng, b, s, 40, 56)
         cot = jnp.asarray(rng.randn(b * s, 5, 5, 4).astype(np.float32))
@@ -102,7 +115,7 @@ class TestRoiAlignSlotsPerIm:
 
 
 class TestMultilevelSlotsPerIm:
-    def _setup(self, seed=0, b=2, s=12, c=8):
+    def _setup(self, seed=0, b=4, s=12, c=8):
         rng = np.random.RandomState(seed)
         hc, wc = 256, 384
         feats = {
