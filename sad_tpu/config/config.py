@@ -181,6 +181,20 @@ class TestConfig:
     # BENCH_NOTES.md (topk_parity_drive). Eval defaults to exact; throughput
     # benches opt into approx.
     EXACT_TOPK: bool = True
+    # Pre-NMS candidate cap for the FINAL class-wise NMS of the R-CNN box
+    # decode (eval/rcnn_inference.py). The reference NMS-es every
+    # (roi, fg class) candidate above SCORE_THRESH (test.py:161-180, class
+    # loop over the thresholded arrays); the dense TPU decode carries all
+    # R x (C-1) slots (79k at R=1000, C=81), which overflows the
+    # sublane-batched Pallas NMS kernel's VMEM ceiling and falls back to
+    # the 1-of-8-sublanes single-problem kernel. N > 0 first takes the
+    # exact top-N candidates by score (ops/topk PartialReduce) and NMS-es
+    # those — bit-identical to the full set whenever <= N candidates clear
+    # SCORE_THRESH (NEG_INF-masked slots can never be picked), and
+    # identical in practice far beyond that (greedy NMS keeps
+    # DETECTIONS_PER_IM=100 of the highest scorers). 0 = reference-exact
+    # full candidate set.
+    NMS_CAND_TOPK: int = 0
     PROPOSAL_FILES: Tuple[str, ...] = ()
     PROPOSAL_LIMIT: int = 2000
     COMPETITION_MODE: bool = True

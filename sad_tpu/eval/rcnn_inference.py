@@ -65,6 +65,20 @@ def decode_rcnn_detections(
     boxes_b, scores_b, classes_b, valid_b = jax.vmap(one_image)(
         rois, roi_valid, cls_prob, bbox_pred, im_hw, im_scale
     )
+    cand_k = cfg.TEST.NMS_CAND_TOPK
+    if cand_k and cand_k < boxes_b.shape[1]:
+        # exact top-k candidate cut before NMS (see TEST.NMS_CAND_TOPK):
+        # invalid slots carry -inf scores, so whenever <= cand_k candidates
+        # clear SCORE_THRESH the kept set is bit-identical to the full NMS
+        from sad_tpu.ops.nms import NEG_INF
+        from sad_tpu.ops.topk import top_k
+
+        masked = jnp.where(valid_b, scores_b, NEG_INF)
+        _, sel = top_k(masked, cand_k, exact=True)
+        boxes_b = jnp.take_along_axis(boxes_b, sel[..., None], axis=1)
+        scores_b = jnp.take_along_axis(scores_b, sel, axis=1)
+        classes_b = jnp.take_along_axis(classes_b, sel, axis=1)
+        valid_b = jnp.take_along_axis(valid_b, sel, axis=1)
     keep_idx, keep_valid = batched_nms_multi(
         boxes_b, scores_b, classes_b, valid_b,
         cfg.TEST.NMS, cfg.TEST.DETECTIONS_PER_IM,
@@ -72,6 +86,10 @@ def decode_rcnn_detections(
     kept_boxes = jnp.take_along_axis(boxes_b, keep_idx[..., None], axis=1)
     kept_scores = jnp.take_along_axis(scores_b, keep_idx, axis=1)
     kept_classes = jnp.take_along_axis(classes_b, keep_idx, axis=1)
+    # invalid slots gather whatever candidate the kernel's idx-0 padding
+    # points at — zero them so outputs are deterministic regardless of the
+    # candidate ordering (consumers filter on 'valid' either way)
+    kept_boxes = jnp.where(keep_valid[..., None], kept_boxes, 0.0)
     return {
         "boxes": kept_boxes,
         "scores": jnp.where(keep_valid, kept_scores, 0.0),

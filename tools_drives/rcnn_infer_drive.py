@@ -45,7 +45,8 @@ def measure(mask_on: bool):
         "e2e_mask_rcnn_R-50-FPN_1x.yaml",
         ["NUM_GPUS", "1", "TRAIN.WEIGHTS", "", "COMPUTE_DTYPE", "bfloat16",
          "PIXEL_STD", "(57.375,57.12,58.395)"]
-        + ([] if mask_on else ["MODEL.MASK_ON", "False"]),
+        + ([] if mask_on else ["MODEL.MASK_ON", "False"])
+        + [a for a in sys.argv[1:] if not a.startswith("--")],
     )
     (h, w), _ = canvas_shapes(cfg)
     model = create_model(cfg)
@@ -80,7 +81,12 @@ def measure(mask_on: bool):
 
 
 def main():
+    import os
+
     payload = {"metric": "rcnn_inference_scale800_bs8"}
+    overrides = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if overrides:
+        payload["overrides"] = overrides
     base = {"faster": 0.093 + 0.004, "mask": 0.099 + 0.019}
     for mask_on, tag in ((False, "faster"), (True, "mask")):
         r = measure(mask_on)
@@ -92,7 +98,8 @@ def main():
         "mask 0.099+0.019 (:729-739)"
     )
     print(json.dumps(payload))
-    record_result("rcnn_inference", payload)
+    record_result("rcnn_inference" + os.environ.get("RESULT_SUFFIX", ""),
+                  payload)
 
 
 if __name__ == "__main__":
