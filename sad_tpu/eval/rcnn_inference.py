@@ -157,6 +157,7 @@ def make_rcnn_inference_fn(cfg: Config, model) -> Callable:
                     cfg.FAST_RCNN.ROI_XFORM_RESOLUTION,
                     cfg.FAST_RCNN.ROI_XFORM_SAMPLING_RATIO,
                     slots_per_im=r,  # flat is image-major by construction
+                    inference=True,
                 )
                 cls_score, bbox_pred = model.apply(
                     {"params": params}, roi_feats,
@@ -235,6 +236,7 @@ def make_rcnn_inference_fn(cfg: Config, model) -> Callable:
                     cfg.MRCNN.ROI_XFORM_RESOLUTION,
                     cfg.MRCNN.ROI_XFORM_SAMPLING_RATIO,
                     slots_per_im=k,  # flat is image-major by construction
+                    inference=True,
                 )
                 logits = model.apply(
                     {"params": params}, mf, method="mask_heads"
@@ -248,6 +250,7 @@ def make_rcnn_inference_fn(cfg: Config, model) -> Callable:
                     cfg.KRCNN.ROI_XFORM_RESOLUTION,
                     cfg.KRCNN.ROI_XFORM_SAMPLING_RATIO,
                     slots_per_im=k,  # flat is image-major by construction
+                    inference=True,
                 )
                 hm = model.apply({"params": params}, kf, method="keypoint_heads")
                 dets["kps_heatmaps"] = hm.reshape((b, k) + hm.shape[1:])
@@ -297,6 +300,7 @@ def make_aux_on_boxes_fn(cfg: Config, model) -> Callable:
                     cfg.MRCNN.ROI_XFORM_RESOLUTION,
                     cfg.MRCNN.ROI_XFORM_SAMPLING_RATIO,
                     slots_per_im=k,  # flat is image-major by construction
+                    inference=True,
                 )
                 logits = model.apply(
                     {"params": params}, mf, method="mask_heads"
@@ -310,6 +314,7 @@ def make_aux_on_boxes_fn(cfg: Config, model) -> Callable:
                     cfg.KRCNN.ROI_XFORM_RESOLUTION,
                     cfg.KRCNN.ROI_XFORM_SAMPLING_RATIO,
                     slots_per_im=k,  # flat is image-major by construction
+                    inference=True,
                 )
                 hm = model.apply(
                     {"params": params}, kf, method="keypoint_heads"

@@ -343,6 +343,7 @@ class GeneralizedRCNN(nn.Module):
             cfg.FAST_RCNN.ROI_XFORM_RESOLUTION,
             cfg.FAST_RCNN.ROI_XFORM_SAMPLING_RATIO,
             slots_per_im=r,  # flat_rois is image-major by construction
+            inference=True,  # __call__ is the TEST-knob serving forward
         )
         cls_score, bbox_pred = self.box_head(roi_feats)
         return {

@@ -92,13 +92,24 @@ ROI_ALIGN_MODE = os.environ.get("SAD_TPU_ROI_MODE", "") or None
 _VALID_MODES = ("dense", "windowed", "hybrid")
 
 
-def roi_align_mode(n_rois: int, features=None) -> str:
+def roi_align_mode(n_rois: int, features=None, inference: bool = False) -> str:
     """Resolve the multilevel-RoIAlign dispatch mode for this call site.
 
     Explicit ROI_ALIGN_MODE wins (still subject to the MAX_ROIS scalar-
     prefetch cap and the lane-alignment guard below — past either every
     kernel path degrades to dense); otherwise legacy auto: windowed on TPU
     / dense elsewhere via use_windowed_kernel.
+
+    inference=True marks a no-backward call site (the serving/eval paths):
+    auto then picks the WINDOWED forward instead of hybrid. The hybrid
+    default exists because in the TRAIN step XLA overlaps the dense
+    forward's tent matmuls with the rest of fwd+bwd — at inference there
+    is no backward to overlap against, the dense form computes every roi's
+    tent matmuls at every FPN level (1000 rois/im at eval vs 512 sampled
+    in train), and the round-5 stage decomposition measured it as 89.5 of
+    the 137 ms Faster R-CNN serving step. Windowed forward on the serving
+    rows: Faster 58.4 -> 93.2 imgs/s, Mask 50.3 -> 83.2
+    (results/rcnn_inference_roiwin.json).
     """
     if ROI_ALIGN_MODE is not None:
         if ROI_ALIGN_MODE not in _VALID_MODES:
@@ -120,6 +131,11 @@ def roi_align_mode(n_rois: int, features=None) -> str:
         return ROI_ALIGN_MODE
     if USE_PALLAS_ROI_ALIGN is not None:
         # legacy force knob keeps its original meaning: windowed vs dense
+        return (
+            "windowed" if use_windowed_kernel(n_rois, features) else "dense"
+        )
+    if inference:
+        # no backward at this call site -> windowed forward (see docstring)
         return (
             "windowed" if use_windowed_kernel(n_rois, features) else "dense"
         )

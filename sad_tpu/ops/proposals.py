@@ -198,6 +198,7 @@ def multilevel_roi_align(
     resolution: int,
     sampling_ratio: int = 2,
     slots_per_im: int = 0,
+    inference: bool = False,
 ) -> jnp.ndarray:
     """RoIAlign each roi from its FPN level (ref: RoIFeatureTransform +
     BatchPermutation shuffle, detector.py:240-305). Static-shape strategy:
@@ -211,7 +212,9 @@ def multilevel_roi_align(
     backward (each roi scatters into only the small window of its ONE
     assigned level). Fastest measured combination at mask-1x geometry;
     SAD_TPU_ROI_MODE=dense|windowed|hybrid overrides (BENCH_NOTES.md
-    round-4)."""
+    round-4). inference=True (the serving call sites) flips auto to the
+    WINDOWED forward — no backward to overlap against and 1000 rois/im at
+    eval; +60% on the serving rows (BENCH_NOTES round-5)."""
     from . import pallas_roi_align
 
     # Contract: NO gradient flows through roi coordinates on either path
@@ -220,7 +223,9 @@ def multilevel_roi_align(
     # zero for rois, so make the dense path match loudly here rather than
     # silently diverge)
     rois = jax.lax.stop_gradient(rois)
-    mode = pallas_roi_align.roi_align_mode(rois.shape[0], features)
+    mode = pallas_roi_align.roi_align_mode(
+        rois.shape[0], features, inference=inference
+    )
     if mode == "windowed":
         return pallas_roi_align.multilevel_roi_align_windowed(
             features, rois, roi_levels, valid, resolution, sampling_ratio

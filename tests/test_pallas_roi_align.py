@@ -293,3 +293,31 @@ def test_auto_mode_guards_tiny_levels(monkeypatch):
     # explicit force wins regardless of shape (interpret mode on CPU)
     monkeypatch.setattr(pallas_roi_align, "USE_PALLAS_ROI_ALIGN", True)
     assert pallas_roi_align.use_windowed_kernel(16, tiny)
+
+
+def test_inference_flag_biases_auto_to_windowed(monkeypatch):
+    """inference=True marks a no-backward call site: the auto default
+    flips from HYBRID (dense fwd tuned for train-step overlap) to the
+    WINDOWED forward — the round-5 serving stage decomposition measured
+    the dense forward as 89.5 of the 137 ms Faster serving step at 1000
+    rois/im, and windowed took the rows 58.4 -> 93.2 imgs/s
+    (results/rcnn_infer_stages.json, rcnn_inference_roiwin.json)."""
+    ok = {2: jnp.zeros((1, 16, 32, 128))}
+    monkeypatch.setattr(pallas_roi_align, "ROI_ALIGN_MODE", None)
+    monkeypatch.setattr(pallas_roi_align, "USE_PALLAS_ROI_ALIGN", None)
+    # auto is backend-gated; pin the TPU answer regardless of host
+    monkeypatch.setattr(pallas_roi_align.jax, "default_backend",
+                        lambda: "tpu")
+    assert pallas_roi_align.roi_align_mode(16, ok) == "hybrid"
+    assert (
+        pallas_roi_align.roi_align_mode(16, ok, inference=True) == "windowed"
+    )
+    # explicit mode still wins over the inference hint
+    monkeypatch.setattr(pallas_roi_align, "ROI_ALIGN_MODE", "hybrid")
+    assert (
+        pallas_roi_align.roi_align_mode(16, ok, inference=True) == "hybrid"
+    )
+    monkeypatch.setattr(pallas_roi_align, "ROI_ALIGN_MODE", None)
+    # incompatible shapes degrade the inference hint to dense as usual
+    c64 = {2: jnp.zeros((1, 64, 64, 64))}
+    assert pallas_roi_align.roi_align_mode(16, c64, inference=True) == "dense"

@@ -29,7 +29,7 @@ sys.path.insert(0, "/root/repo/tools_drives")
 from driveutil import record_result  # noqa: E402
 
 
-def measure(mask_on: bool):
+def measure(kind: str):
     import jax
     import jax.numpy as jnp
 
@@ -40,12 +40,15 @@ def measure(mask_on: bool):
     from sad_tpu.models.model_builder import init_model_params
 
     bs, iters = 8, 20
+    yaml = (
+        "e2e_keypoint_rcnn_R-50-FPN_1x.yaml" if kind == "keypoint"
+        else "e2e_mask_rcnn_R-50-FPN_1x.yaml"
+    )
     cfg = load_cfg(
-        "/root/reference/detectron/configs/12_2017_baselines/"
-        "e2e_mask_rcnn_R-50-FPN_1x.yaml",
+        f"/root/reference/detectron/configs/12_2017_baselines/{yaml}",
         ["NUM_GPUS", "1", "TRAIN.WEIGHTS", "", "COMPUTE_DTYPE", "bfloat16",
          "PIXEL_STD", "(57.375,57.12,58.395)"]
-        + ([] if mask_on else ["MODEL.MASK_ON", "False"])
+        + (["MODEL.MASK_ON", "False"] if kind == "faster" else [])
         + [a for a in sys.argv[1:] if not a.startswith("--")],
     )
     (h, w), _ = canvas_shapes(cfg)
@@ -65,7 +68,7 @@ def measure(mask_on: bool):
     t0 = time.perf_counter()
     images, out = run_once(images)
     jax.block_until_ready(out["scores"])
-    print(f"mask_on={mask_on} canvas={(h, w)} compile+first: "
+    print(f"kind={kind} canvas={(h, w)} compile+first: "
           f"{time.perf_counter() - t0:.1f}s", flush=True)
     assert bool(jnp.isfinite(out["scores"]).all())
     images, out = run_once(images)
@@ -87,15 +90,16 @@ def main():
     overrides = [a for a in sys.argv[1:] if not a.startswith("--")]
     if overrides:
         payload["overrides"] = overrides
-    base = {"faster": 0.093 + 0.004, "mask": 0.099 + 0.019}
-    for mask_on, tag in ((False, "faster"), (True, "mask")):
-        r = measure(mask_on)
+    base = {"faster": 0.093 + 0.004, "mask": 0.099 + 0.019,
+            "keypoint": 0.097 + 0.092}
+    for tag in ("faster", "mask", "keypoint"):
+        r = measure(tag)
         r["vs_baseline"] = round(r["imgs_per_s"] * base[tag], 2)
         payload[tag] = r
         print(tag, json.dumps(r), flush=True)
     payload["baseline_note"] = (
         "P100 bs1 infer s/im: faster 0.093+0.004 (MODEL_ZOO.md:570-579), "
-        "mask 0.099+0.019 (:729-739)"
+        "mask 0.099+0.019 (:729-739), keypoint 0.097+0.092 (:1389-1404)"
     )
     print(json.dumps(payload))
     record_result("rcnn_inference" + os.environ.get("RESULT_SUFFIX", ""),
