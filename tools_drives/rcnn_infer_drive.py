@@ -39,7 +39,10 @@ def measure(kind: str):
     from sad_tpu.models import create_model
     from sad_tpu.models.model_builder import init_model_params
 
-    bs, iters = 8, 20
+    import os
+
+    bs = int(os.environ.get("INFER_BS", "8"))
+    iters = 20
     yaml = (
         "e2e_keypoint_rcnn_R-50-FPN_1x.yaml" if kind == "keypoint"
         else "e2e_mask_rcnn_R-50-FPN_1x.yaml"
@@ -86,7 +89,8 @@ def measure(kind: str):
 def main():
     import os
 
-    payload = {"metric": "rcnn_inference_scale800_bs8"}
+    bs = os.environ.get("INFER_BS", "8")
+    payload = {"metric": f"rcnn_inference_scale800_bs{bs}"}
     overrides = [a for a in sys.argv[1:] if not a.startswith("--")]
     if overrides:
         payload["overrides"] = overrides
