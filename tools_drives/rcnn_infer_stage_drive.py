@@ -146,6 +146,7 @@ def main():
             cfg.FAST_RCNN.ROI_XFORM_RESOLUTION,
             cfg.FAST_RCNN.ROI_XFORM_SAMPLING_RATIO,
             slots_per_im=r,
+            inference=True,  # match the serving path's dispatch (round 5)
         )
         cls_score, bbox_pred = model.apply(
             {"params": params}, roi_feats, method=lambda m, f: m.box_head(f)
@@ -200,7 +201,8 @@ def main():
     print(json.dumps(results))
     if sys.argv[1:]:
         return  # smoke run at non-default geometry: no durable record
-    record_result("rcnn_infer_stages", {
+    import os as _os
+    record_result("rcnn_infer_stages" + _os.environ.get("RESULT_SUFFIX", ""), {
         "metric": "cumulative-prefix ms/step, faster-rcnn R-50-FPN TEST "
                   "geometry bs8 bf16",
         "canvas": [h, w],
